@@ -10,6 +10,7 @@ g++ -O2 -fPIC -shared -w \
     -D__APPLE__ \
     -I. -I/root/reference \
     oracle.cpp \
+    oracle_units.cpp \
     /root/reference/abac.cpp \
     /root/reference/bitstream.cpp \
     /root/reference/common.cpp \

@@ -1,0 +1,171 @@
+"""ctypes wrapper for unit-level reference exports (oracle_units.cpp)."""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from oracle import lib as _lib
+
+
+def _i16p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_short))
+
+
+def _setup():
+    L = _lib()
+    i16 = ctypes.POINTER(ctypes.c_short)
+    u8 = ctypes.POINTER(ctypes.c_ubyte)
+    i32 = ctypes.POINTER(ctypes.c_int)
+    u = ctypes.c_uint
+    L.evxu_transform_8x8.argtypes = [i16, u, i16]
+    L.evxu_inverse_transform_8x8.argtypes = [i16, u, i16]
+    L.evxu_inverse_transform_add_8x8.argtypes = [i16, i16, u, i16]
+    L.evxu_sub_transform_8x8.argtypes = [i16, i16, u, i16]
+    L.evxu_quantize_macroblock.argtypes = [ctypes.c_ubyte, ctypes.c_int] + [i16] * 6 + [u, u, u]
+    L.evxu_inverse_quantize_macroblock.argtypes = L.evxu_quantize_macroblock.argtypes
+    L.evxu_query_qp.argtypes = [ctypes.c_ubyte, i16, i16, i16, u, ctypes.c_int]
+    L.evxu_block_variance2.argtypes = [i16, u]
+    L.evxu_lerp_half.argtypes = [i16] * 9 + [u]
+    L.evxu_lerp_quarter.argtypes = [i16] * 9 + [u]
+    L.evxu_convert_rgb_to_yuv.argtypes = [u8, u, u, i16, i16, i16, u, u]
+    L.evxu_convert_yuv_to_rgb.argtypes = [i16, i16, i16, u, u, u8, u, u]
+    L.evxu_intra_prediction.argtypes = [ctypes.c_ushort, u] + [i16] * 6 + [u, u, u, u, i32]
+    L.evxu_inter_prediction.argtypes = [ctypes.c_ushort, u, ctypes.c_ubyte] + [i16] * 6 + [u, u, u, u, i32]
+    L.evxu_deblock.argtypes = [i16, i16, i16, u, u, i32, u]
+    return L
+
+
+_L = None
+
+
+def L():
+    global _L
+    if _L is None:
+        _L = _setup()
+    return _L
+
+
+def transform_8x8(block):
+    src = np.ascontiguousarray(block, dtype=np.int16)
+    dst = np.zeros_like(src)
+    L().evxu_transform_8x8(_i16p(src), 8, _i16p(dst))
+    return dst
+
+
+def inverse_transform_8x8(block):
+    src = np.ascontiguousarray(block, dtype=np.int16)
+    dst = np.zeros_like(src)
+    L().evxu_inverse_transform_8x8(_i16p(src), 8, _i16p(dst))
+    return dst
+
+
+def inverse_transform_add_8x8(block, add):
+    src = np.ascontiguousarray(block, dtype=np.int16)
+    addv = np.ascontiguousarray(add, dtype=np.int16)
+    dst = np.zeros_like(src)
+    L().evxu_inverse_transform_add_8x8(_i16p(src), _i16p(addv), 8, _i16p(dst))
+    return dst
+
+
+def sub_transform_8x8(block, sub):
+    src = np.ascontiguousarray(block, dtype=np.int16)
+    subv = np.ascontiguousarray(sub, dtype=np.int16)
+    dst = np.zeros_like(src)
+    L().evxu_sub_transform_8x8(_i16p(src), _i16p(subv), 8, _i16p(dst))
+    return dst
+
+
+def quantize_macroblock(qp, block_type, y, u, v):
+    """y: (16,16), u/v: (8,8) int16; returns quantized (y, u, v)."""
+    y = np.ascontiguousarray(y, dtype=np.int16)
+    u = np.ascontiguousarray(u, dtype=np.int16)
+    v = np.ascontiguousarray(v, dtype=np.int16)
+    oy, ou, ov = np.zeros_like(y), np.zeros_like(u), np.zeros_like(v)
+    L().evxu_quantize_macroblock(qp, block_type, _i16p(y), _i16p(u), _i16p(v),
+                                 _i16p(oy), _i16p(ou), _i16p(ov), 16, 0, 0)
+    return oy, ou, ov
+
+
+def inverse_quantize_macroblock(qp, block_type, y, u, v):
+    y = np.ascontiguousarray(y, dtype=np.int16)
+    u = np.ascontiguousarray(u, dtype=np.int16)
+    v = np.ascontiguousarray(v, dtype=np.int16)
+    oy, ou, ov = np.zeros_like(y), np.zeros_like(u), np.zeros_like(v)
+    L().evxu_inverse_quantize_macroblock(qp, block_type, _i16p(y), _i16p(u), _i16p(v),
+                                         _i16p(oy), _i16p(ou), _i16p(ov), 16, 0, 0)
+    return oy, ou, ov
+
+
+def query_qp(quality, y, block_type=1):
+    y = np.ascontiguousarray(y, dtype=np.int16)
+    return L().evxu_query_qp(quality, _i16p(y), _i16p(y), _i16p(y), 16, block_type)
+
+
+def block_variance2(y):
+    y = np.ascontiguousarray(y, dtype=np.int16)
+    return L().evxu_block_variance2(_i16p(y), 16)
+
+
+def lerp(kind, ay, au, av, by, bu, bv):
+    ins = [np.ascontiguousarray(a, dtype=np.int16) for a in (ay, au, av, by, bu, bv)]
+    outs = [np.zeros(s, dtype=np.int16) for s in ((16, 16), (8, 8), (8, 8))]
+    fn = L().evxu_lerp_half if kind == "half" else L().evxu_lerp_quarter
+    fn(*[_i16p(a) for a in ins + outs], 16)
+    return outs
+
+
+def convert_rgb_to_yuv(rgb, yw, yh):
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    y = np.zeros((yh, yw), dtype=np.int16)
+    u = np.zeros((yh // 2, yw // 2), dtype=np.int16)
+    v = np.zeros((yh // 2, yw // 2), dtype=np.int16)
+    L().evxu_convert_rgb_to_yuv(rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                                w, h, _i16p(y), _i16p(u), _i16p(v), yw, yh)
+    return y, u, v
+
+
+def convert_yuv_to_rgb(y, u, v, width, height):
+    y = np.ascontiguousarray(y, dtype=np.int16)
+    u = np.ascontiguousarray(u, dtype=np.int16)
+    v = np.ascontiguousarray(v, dtype=np.int16)
+    rgb = np.zeros((height, width, 3), dtype=np.uint8)
+    L().evxu_convert_yuv_to_rgb(_i16p(y), _i16p(u), _i16p(v), y.shape[1], y.shape[0],
+                                rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                                width, height)
+    return rgb
+
+
+def prediction(is_intra, quality, frame_index, src_yuv, pred_yuv, px, py,
+               pred_offset=0):
+    """Runs the reference motion search; returns (sad, desc dict)."""
+    sy, su, sv = [np.ascontiguousarray(p, dtype=np.int16) for p in src_yuv]
+    py_, pu, pv = [np.ascontiguousarray(p, dtype=np.int16) for p in pred_yuv]
+    h, w = sy.shape
+    desc = np.zeros(7, dtype=np.int32)
+    dp = desc.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+    if is_intra:
+        sad = L().evxu_intra_prediction(quality, frame_index, _i16p(sy), _i16p(su),
+                                        _i16p(sv), _i16p(py_), _i16p(pu), _i16p(pv),
+                                        w, h, px, py, dp)
+    else:
+        sad = L().evxu_inter_prediction(quality, frame_index, pred_offset,
+                                        _i16p(sy), _i16p(su), _i16p(sv),
+                                        _i16p(py_), _i16p(pu), _i16p(pv),
+                                        w, h, px, py, dp)
+    keys = ["block_type", "prediction_target", "motion_x", "motion_y",
+            "sp_pred", "sp_amount", "sp_index"]
+    return sad, dict(zip(keys, desc.tolist()))
+
+
+def deblock(y, u, v, table):
+    """table: (n, 8) int32 [type, target, mx, my, sp_pred, sp_amount, sp_index, q]."""
+    y = np.ascontiguousarray(y, dtype=np.int16).copy()
+    u = np.ascontiguousarray(u, dtype=np.int16).copy()
+    v = np.ascontiguousarray(v, dtype=np.int16).copy()
+    t = np.ascontiguousarray(table, dtype=np.int32)
+    L().evxu_deblock(_i16p(y), _i16p(u), _i16p(v), y.shape[1], y.shape[0],
+                     t.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), len(t))
+    return y, u, v
