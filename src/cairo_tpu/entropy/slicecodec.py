@@ -30,6 +30,11 @@ MB = tables.MACROBLOCK_SIZE
 _Z8 = tables.ZIGZAG_8x8
 
 
+def _wrap16(value: int) -> int:
+    """Two's-complement wrap to int16 (C int16 store)."""
+    return ((int(value) + 0x8000) & 0xFFFF) - 0x8000
+
+
 def _encode_sgolomb(coder: EntropyCoder, out: BitWriter, value: int):
     idx = int(value) & 0xFFFF
     code = int(tables.SGOLOMB_CODES[idx])
@@ -74,7 +79,7 @@ def _decode_sgolomb(coder: EntropyCoder, src: BitReader) -> int:
     result = sign * ((payload >> 1) & 0x7FFF)
     if nbits > 0x20:  # -32768 escape (stream.cpp:425-431)
         result = -32768 if result == 0 else result | ~0x7FFF
-    return int(np.int16(result))
+    return _wrap16(result)
 
 
 def _encode_rle_8x8(coder: EntropyCoder, out: BitWriter, block_zz: np.ndarray):
@@ -121,7 +126,7 @@ def encode_slice(bt: BlockTable, y_plane: np.ndarray, u_plane: np.ndarray,
         for i in range(n):
             if not is_motion(bt.block_type[i]):
                 continue
-            _encode_sgolomb(coder, out, int(np.int16(int(comp[i]) - last)))
+            _encode_sgolomb(coder, out, _wrap16(int(comp[i]) - last))
             last = int(comp[i])
     # 4. sub-pel parameters
     for i in range(n):
@@ -138,7 +143,7 @@ def encode_slice(bt: BlockTable, y_plane: np.ndarray, u_plane: np.ndarray,
     for i in range(n):
         if is_copy(bt.block_type[i]):
             continue
-        _encode_sgolomb(coder, out, int(np.int16(int(bt.q_index[i]) - last)))
+        _encode_sgolomb(coder, out, _wrap16(int(bt.q_index[i]) - last))
         last = int(bt.q_index[i])
 
     # 6. residuals: Y plane (4 sub-blocks/MB with chained DC deltas), then U, V
@@ -159,7 +164,7 @@ def encode_slice(bt: BlockTable, y_plane: np.ndarray, u_plane: np.ndarray,
         for (dy, dx), dc_pred in (((0, 0), last_dc), ((0, 8), tl),
                                   ((8, 0), tl), ((8, 8), bl)):
             zz = _sub_block_zz(y_plane, j + dy, i + dx).copy()
-            zz[0] = np.int16(int(zz[0]) - dc_pred)
+            zz[0] = _wrap16(int(zz[0]) - dc_pred)
             _encode_rle_8x8(coder, out, zz)
 
     for plane in (u_plane, v_plane):
@@ -176,7 +181,7 @@ def encode_slice(bt: BlockTable, y_plane: np.ndarray, u_plane: np.ndarray,
             else:
                 last_dc = 0
             zz = _sub_block_zz(plane, j, i).copy()
-            zz[0] = np.int16(int(zz[0]) - last_dc)
+            zz[0] = _wrap16(int(zz[0]) - last_dc)
             _encode_rle_8x8(coder, out, zz)
 
     if finish:
@@ -212,7 +217,7 @@ def decode_slice(src: BitReader, n_blocks: int, y_plane: np.ndarray,
             if not is_motion(bt.block_type[i]):
                 continue
             delta = _decode_sgolomb(coder, src)
-            comp[i] = np.int16(last + delta)
+            comp[i] = _wrap16(last + delta)
             last = int(comp[i])
     for i in range(n):
         if is_motion(bt.block_type[i]):
@@ -250,7 +255,7 @@ def decode_slice(src: BitReader, n_blocks: int, y_plane: np.ndarray,
                 dc_pred = int(y_plane[j, i])
             else:
                 dc_pred = int(y_plane[j + 8, i])
-            blk[0, 0] = np.int16(int(blk[0, 0]) + dc_pred)
+            blk[0, 0] = _wrap16(int(blk[0, 0]) + dc_pred)
             y_plane[j + dy:j + dy + 8, i + dx:i + dx + 8] = blk
 
     for plane in (u_plane, v_plane):
@@ -267,5 +272,5 @@ def decode_slice(src: BitReader, n_blocks: int, y_plane: np.ndarray,
             else:
                 last_dc = 0
             blk = _decode_rle_8x8(coder, src).reshape(8, 8)
-            blk[0, 0] = np.int16(int(blk[0, 0]) + last_dc)
+            blk[0, 0] = _wrap16(int(blk[0, 0]) + last_dc)
             plane[j:j + 8, i:i + 8] = blk

@@ -1,0 +1,121 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+The shared library is built on first import if missing (g++ -O2). Exposes
+the slice entropy codec; see entropy.cpp for the format contract.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from ..blocktypes import BlockTable
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB = os.path.join(_DIR, "libcairo_native.so")
+_SRC = [os.path.join(_DIR, "entropy.cpp")]
+
+
+def build(force: bool = False):
+    if not force and os.path.exists(_LIB) and all(
+            os.path.getmtime(_LIB) >= os.path.getmtime(s) for s in _SRC):
+        return
+    cmd = ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", "-o", _LIB] + _SRC
+    subprocess.run(cmd, check=True)
+
+
+_lib = None
+
+
+def lib():
+    global _lib
+    if _lib is None:
+        build()
+        L = ctypes.CDLL(_LIB)
+        u8 = ctypes.POINTER(ctypes.c_uint8)
+        i16 = ctypes.POINTER(ctypes.c_int16)
+        u = ctypes.c_uint
+        u64 = ctypes.c_ulonglong
+        L.evxn_encode_slice.restype = ctypes.c_longlong
+        L.evxn_encode_slice.argtypes = [u, u, u] + [u8, u8, i16, i16, u8, u8, u8, u8] + \
+            [i16, i16, i16, u, u, u8, u64]
+        L.evxn_decode_slice.restype = ctypes.c_longlong
+        L.evxn_decode_slice.argtypes = [u8, u64, u, u, u] + \
+            [u8, u8, i16, i16, u8, u8, u8, u8] + [i16, i16, i16, u, u]
+        _lib = L
+    return _lib
+
+
+def _p8(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _p16(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+
+
+def _bt_arrays(bt: BlockTable):
+    """Contiguous uint8/int16 views of the table for the C ABI."""
+    return (np.ascontiguousarray(bt.block_type, dtype=np.uint8),
+            np.ascontiguousarray(bt.prediction_target, dtype=np.uint8),
+            np.ascontiguousarray(bt.motion_x, dtype=np.int16),
+            np.ascontiguousarray(bt.motion_y, dtype=np.int16),
+            np.ascontiguousarray(bt.sp_pred, dtype=np.uint8),
+            np.ascontiguousarray(bt.sp_amount, dtype=np.uint8),
+            np.ascontiguousarray(bt.sp_index, dtype=np.uint8),
+            np.ascontiguousarray(bt.q_index, dtype=np.uint8))
+
+
+def encode_slice(bt: BlockTable, y: np.ndarray, u: np.ndarray, v: np.ndarray
+                 ) -> tuple[bytes, int]:
+    """Serializes one slice; returns (byte chunk, bit count)."""
+    height, width = y.shape
+    wb, hb = width // 16, height // 16
+    n = len(bt)
+    arrays = _bt_arrays(bt)
+    y = np.ascontiguousarray(y, dtype=np.int16)
+    u = np.ascontiguousarray(u, dtype=np.int16)
+    v = np.ascontiguousarray(v, dtype=np.int16)
+    cap = 4 * (width * height * 2 + 4096)
+    out = np.zeros(cap, dtype=np.uint8)
+    bits = lib().evxn_encode_slice(
+        n, wb, hb, _p8(arrays[0]), _p8(arrays[1]), _p16(arrays[2]),
+        _p16(arrays[3]), _p8(arrays[4]), _p8(arrays[5]), _p8(arrays[6]),
+        _p8(arrays[7]), _p16(y), _p16(u), _p16(v), width, height,
+        _p8(out), cap)
+    if bits < 0:
+        raise RuntimeError("slice overflowed output capacity")
+    nbytes = (bits + 7) // 8
+    return out[:nbytes].tobytes(), int(bits)
+
+
+def decode_slice(data: bytes, bit_offset: int, bt: BlockTable, y: np.ndarray,
+                 u: np.ndarray, v: np.ndarray) -> int:
+    """Deserializes one slice starting at bit_offset (must be byte-aligned)
+    into the persistent table/planes. Returns bits consumed."""
+    assert bit_offset % 8 == 0
+    height, width = y.shape
+    wb, hb = width // 16, height // 16
+    n = len(bt)
+    buf = np.frombuffer(data, dtype=np.uint8)[bit_offset // 8:]
+    buf = np.ascontiguousarray(buf)
+    bit_limit = len(buf) * 8
+    assert y.flags.c_contiguous and u.flags.c_contiguous and v.flags.c_contiguous
+    a = _bt_arrays(bt)
+    bits = lib().evxn_decode_slice(
+        _p8(buf), bit_limit, n, wb, hb,
+        _p8(a[0]), _p8(a[1]), _p16(a[2]), _p16(a[3]), _p8(a[4]), _p8(a[5]),
+        _p8(a[6]), _p8(a[7]), _p16(y), _p16(u), _p16(v), width, height)
+    # copy back into the table (views may have been copies)
+    bt.block_type[:] = a[0]
+    bt.prediction_target[:] = a[1]
+    bt.motion_x[:] = a[2]
+    bt.motion_y[:] = a[3]
+    bt.sp_pred[:] = a[4].astype(bool)
+    bt.sp_amount[:] = a[5].astype(bool)
+    bt.sp_index[:] = a[6]
+    bt.q_index[:] = a[7]
+    return int(bits)

@@ -1,0 +1,489 @@
+// cairo-tpu native entropy backend: evx1 slice serializer/deserializer.
+//
+// Implements the slice format documented in docs/FORMAT.md (sections 1, 3-5)
+// at host speed: LSB-first bit IO, the 16-bit adaptive binary arithmetic
+// coder, exp-golomb value codes, zigzag RLE residual coding and DC-delta
+// prediction. Operates on struct-of-arrays block tables and planar int16
+// coefficient buffers, so the TPU pipeline can hand tensors straight in.
+//
+// This is an original implementation written against the format spec; the
+// reference implementation (abac.cpp, stream.cpp, serialize.cpp) defines the
+// wire behavior it must reproduce.
+
+#include <cstdint>
+#include <cstring>
+#include <initializer_list>
+
+namespace {
+
+// ---------------------------------------------------------------- bit io
+
+struct BitSink {
+    uint8_t *out;
+    uint64_t capacity_bits;
+    uint64_t acc = 0;   // pending bits, LSB-first
+    unsigned nacc = 0;
+    uint64_t nbits = 0; // bits flushed + pending
+    bool overflow = false;
+
+    void push(uint64_t bits, unsigned count) {
+        // count <= 48 so acc never overflows before a flush
+        acc |= bits << nacc;
+        nacc += count;
+        nbits += count;
+        if (nbits > capacity_bits) {
+            overflow = true;
+            return;
+        }
+        while (nacc >= 8) {
+            out[(nbits - nacc) >> 3] = (uint8_t)(acc & 0xFF);
+            acc >>= 8;
+            nacc -= 8;
+        }
+    }
+
+    void push_bit(unsigned bit) { push(bit & 1u, 1); }
+
+    uint64_t finish() {
+        if (nacc) {
+            out[(nbits - nacc) >> 3] = (uint8_t)(acc & ((1u << nacc) - 1));
+        }
+        return nbits;
+    }
+};
+
+struct BitSource {
+    const uint8_t *data;
+    uint64_t bit_pos = 0;
+    uint64_t bit_limit;
+
+    bool empty() const { return bit_pos >= bit_limit; }
+
+    unsigned read_bit() {
+        unsigned bit = (data[bit_pos >> 3] >> (bit_pos & 7)) & 1u;
+        ++bit_pos;
+        return bit;
+    }
+};
+
+// ---------------------------------------------------------------- golomb
+
+// code for signed int16 v: payload (|v|<<1 | neg, 0 -> 1) with b significant
+// bits emitted as (b-1) zeros then payload MSB-first; we precompute the
+// LSB-first packed image per 16-bit pattern.
+struct GolombEntry {
+    uint64_t code;
+    uint8_t len;
+};
+
+GolombEntry signed_lut[65536];
+GolombEntry unsigned_lut[512];
+bool luts_ready = false;
+
+GolombEntry make_code(uint64_t payload) {
+    unsigned width = 0;
+    for (uint64_t v = payload; v; v >>= 1) ++width;
+    uint64_t rev = 0;
+    for (unsigned k = 0; k < width; ++k) {
+        rev = (rev << 1) | ((payload >> k) & 1);
+    }
+    GolombEntry e;
+    e.code = rev << (width - 1);
+    e.len = (uint8_t)(2 * width - 1);
+    return e;
+}
+
+void init_luts() {
+    if (luts_ready) return;
+    for (int i = 0; i < 65536; ++i) {
+        int v = (i >= 32768) ? i - 65536 : i;
+        // int32 abs (the reference casts to int32 before abs, so -32768
+        // maps to +32768 and produces a 33-bit code)
+        int64_t a = v < 0 ? -(int64_t)v : v;
+        uint64_t payload = (v == 0) ? 1 : ((uint64_t)a << 1) | (v < 0 ? 1 : 0);
+        signed_lut[i] = make_code(payload);
+    }
+    for (int i = 0; i < 512; ++i) {
+        unsigned_lut[i] = make_code((uint64_t)i + 1);
+    }
+    luts_ready = true;
+}
+
+// ---------------------------------------------------------------- ABAC
+
+constexpr uint32_t kPrecMax = 0xFFFF;
+constexpr uint32_t kHalf = 0x7FFF;
+constexpr uint32_t kQtr = 0x3FFF;
+constexpr uint32_t kThreeQtr = 3 * kQtr;  // 0xBFFD
+
+struct Abac {
+    uint32_t h0 = 1, h1 = 1;
+    uint32_t e3 = 0;
+    uint32_t low = 0, high = kPrecMax;
+    uint32_t value = 0;
+
+    uint32_t mid() const {
+        return low + (uint32_t)((uint64_t)(high - low) * h0 / (h0 + h1));
+    }
+
+    void encode_bit(unsigned bit, BitSink &sink) {
+        uint32_t m = mid();
+        if (bit) {
+            low = m + 1;
+            ++h1;
+        } else {
+            high = m;
+            ++h0;
+        }
+        for (;;) {
+            if ((high & 0x8000u) == (low & 0x8000u)) {
+                unsigned msb = high >> 15;
+                if (msb) {
+                    low -= kHalf + 1;
+                    high -= kHalf + 1;
+                }
+                sink.push_bit(msb);
+                unsigned inv = msb ^ 1u;
+                for (uint32_t k = 0; k < e3; ++k) sink.push_bit(inv);
+                e3 = 0;
+            } else if (high <= kThreeQtr && low > kQtr) {
+                high -= kQtr + 1;
+                low -= kQtr + 1;
+                ++e3;
+            } else {
+                break;
+            }
+            high = ((high << 1) & kPrecMax) | 1u;
+            low = (low << 1) & kPrecMax;
+        }
+    }
+
+    void encode_bits(uint64_t bits, unsigned count, BitSink &sink) {
+        for (unsigned k = 0; k < count; ++k) {
+            encode_bit((bits >> k) & 1u, sink);
+        }
+    }
+
+    void finish(BitSink &sink) {
+        ++e3;
+        unsigned bit = (low < kQtr) ? 0u : 1u;
+        sink.push_bit(bit);
+        unsigned inv = bit ^ 1u;
+        for (uint32_t k = 0; k < e3; ++k) sink.push_bit(inv);
+    }
+
+    void start_decode(BitSource &src) {
+        unsigned bit = 0;
+        value = 0;
+        for (int k = 0; k < 16; ++k) {
+            if (!src.empty()) bit = src.read_bit();
+            value = (value << 1) | bit;
+        }
+    }
+
+    unsigned decode_bit(BitSource &src) {
+        uint32_t m = mid();
+        unsigned decoded;
+        if (value >= low && value <= m) {
+            high = m;
+            ++h0;
+            decoded = 0;
+        } else {
+            low = m + 1;
+            ++h1;
+            decoded = 1;
+        }
+        unsigned bit = 0;  // sticky within this call (abac.cpp:236)
+        for (;;) {
+            if (high <= kHalf) {
+                // renormalize below
+            } else if (low > kHalf) {
+                high -= kHalf + 1;
+                low -= kHalf + 1;
+                value -= kHalf + 1;
+            } else if (high <= kThreeQtr && low > kQtr) {
+                high -= kQtr + 1;
+                low -= kQtr + 1;
+                value -= kQtr + 1;
+            } else {
+                break;
+            }
+            if (!src.empty()) bit = src.read_bit();
+            high = ((high << 1) & kPrecMax) | 1u;
+            low = (low << 1) & kPrecMax;
+            value = ((value << 1) & kPrecMax) | bit;
+        }
+        return decoded;
+    }
+
+    uint64_t decode_bits(unsigned count, BitSource &src) {
+        uint64_t v = 0;
+        for (unsigned k = 0; k < count; ++k) {
+            v |= (uint64_t)decode_bit(src) << k;
+        }
+        return v;
+    }
+};
+
+// ------------------------------------------------------------- residuals
+
+// zigzag order for an 8x8 block (standard; matches scan.h:60-70)
+const uint8_t kZigzag8[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+inline void encode_sgolomb(Abac &coder, BitSink &sink, int16_t v) {
+    const GolombEntry &e = signed_lut[(uint16_t)v];
+    coder.encode_bits(e.code, e.len, sink);
+}
+
+inline void encode_ugolomb(Abac &coder, BitSink &sink, unsigned v) {
+    const GolombEntry &e = unsigned_lut[v];
+    coder.encode_bits(e.code, e.len, sink);
+}
+
+// Reads one golomb payload through the coder; returns payload and writes
+// the total significant bit count (for the -32768 escape).
+inline uint64_t decode_payload(Abac &coder, BitSource &src, unsigned *nbits) {
+    unsigned zeros = 0;
+    while (!coder.decode_bit(src)) ++zeros;
+    uint64_t payload = 1;
+    for (unsigned k = 0; k < zeros; ++k) {
+        payload = (payload << 1) | coder.decode_bit(src);
+    }
+    *nbits = 2 * zeros + 1;
+    return payload;
+}
+
+inline unsigned decode_ugolomb(Abac &coder, BitSource &src) {
+    unsigned nbits;
+    return (unsigned)((decode_payload(coder, src, &nbits) - 1) & 0xFFFF);
+}
+
+inline int16_t decode_sgolomb(Abac &coder, BitSource &src) {
+    unsigned nbits;
+    uint64_t payload = decode_payload(coder, src, &nbits);
+    int32_t sign = 1 - 2 * (int32_t)(payload & 1);
+    int32_t result = sign * (int32_t)((payload >> 1) & 0x7FFF);
+    if (nbits > 0x20) {
+        result = (int16_t)(result | 0x8000);
+    }
+    return (int16_t)result;
+}
+
+// RLE-codes one 8x8 block (stride = row pitch of the plane) with DC delta.
+void encode_block8(Abac &coder, BitSink &sink, const int16_t *block,
+                   unsigned stride, int16_t dc_pred) {
+    int16_t zz[64];
+    for (int k = 0; k < 64; ++k) {
+        unsigned p = kZigzag8[k];
+        zz[k] = block[(p >> 3) * stride + (p & 7)];
+    }
+    zz[0] = (int16_t)(zz[0] - dc_pred);
+    int last = 63;
+    while (last >= 0 && zz[last] == 0) --last;
+    unsigned run = (unsigned)(last + 1);
+    encode_ugolomb(coder, sink, run);
+    for (unsigned k = 0; k < run; ++k) {
+        encode_sgolomb(coder, sink, zz[k]);
+    }
+}
+
+void decode_block8(Abac &coder, BitSource &src, int16_t *block,
+                   unsigned stride, int16_t dc_pred) {
+    int16_t zz[64];
+    memset(zz, 0, sizeof(zz));
+    unsigned run = decode_ugolomb(coder, src);
+    for (unsigned k = 0; k < run && k < 64; ++k) {
+        zz[k] = decode_sgolomb(coder, src);
+    }
+    int16_t out[64];
+    for (int k = 0; k < 64; ++k) {
+        out[kZigzag8[k]] = zz[k];
+    }
+    out[0] = (int16_t)(out[0] + dc_pred);
+    for (int r = 0; r < 8; ++r) {
+        memcpy(block + r * stride, out + r * 8, 8 * sizeof(int16_t));
+    }
+}
+
+struct BlockTableView {
+    const uint8_t *type;
+    const uint8_t *target;
+    const int16_t *mx;
+    const int16_t *my;
+    const uint8_t *sp_pred;
+    const uint8_t *sp_amount;
+    const uint8_t *sp_index;
+    const uint8_t *q_index;
+};
+
+inline bool t_intra(uint8_t t) { return t & 1; }
+inline bool t_motion(uint8_t t) { return t & 2; }
+inline bool t_copy(uint8_t t) { return t & 4; }
+
+// DC predictor for the block at plane position (bx, by) in 8-px units:
+// left block's DC at x-8, else above block's DC at y-8, else 0.
+inline int16_t plane_dc_pred(const int16_t *plane, unsigned stride,
+                             unsigned x, unsigned y) {
+    if (x >= 8) return plane[y * stride + (x - 8)];
+    if (y >= 8) return plane[(y - 8) * stride + x];
+    return 0;
+}
+
+} // namespace
+
+extern "C" {
+
+// Serializes one slice. Returns the total bit count, or -1 on overflow.
+long long evxn_encode_slice(
+    unsigned n_blocks, unsigned wb, unsigned hb,
+    const uint8_t *type, const uint8_t *target, const int16_t *mx,
+    const int16_t *my, const uint8_t *sp_pred, const uint8_t *sp_amount,
+    const uint8_t *sp_index, const uint8_t *q_index,
+    const int16_t *yp, const int16_t *up, const int16_t *vp,
+    unsigned yw, unsigned yh,
+    uint8_t *out, unsigned long long out_capacity_bytes) {
+    init_luts();
+    BlockTableView bt{type, target, mx, my, sp_pred, sp_amount, sp_index, q_index};
+    BitSink sink{out, out_capacity_bytes * 8};
+    Abac coder;
+
+    for (unsigned i = 0; i < n_blocks; ++i) {
+        coder.encode_bits(bt.type[i] & 7u, 3, sink);
+    }
+    for (unsigned i = 0; i < n_blocks; ++i) {
+        if (!t_intra(bt.type[i])) coder.encode_bits(bt.target[i] & 3u, 2, sink);
+    }
+    int16_t last = 0;
+    for (unsigned i = 0; i < n_blocks; ++i) {
+        if (!t_motion(bt.type[i])) continue;
+        encode_sgolomb(coder, sink, (int16_t)(bt.mx[i] - last));
+        last = bt.mx[i];
+    }
+    last = 0;
+    for (unsigned i = 0; i < n_blocks; ++i) {
+        if (!t_motion(bt.type[i])) continue;
+        encode_sgolomb(coder, sink, (int16_t)(bt.my[i] - last));
+        last = bt.my[i];
+    }
+    for (unsigned i = 0; i < n_blocks; ++i) {
+        if (t_motion(bt.type[i])) coder.encode_bit(bt.sp_pred[i] & 1u, sink);
+    }
+    for (unsigned i = 0; i < n_blocks; ++i) {
+        if (t_motion(bt.type[i]) && bt.sp_pred[i])
+            coder.encode_bit(bt.sp_amount[i] & 1u, sink);
+    }
+    for (unsigned i = 0; i < n_blocks; ++i) {
+        if (t_motion(bt.type[i]) && bt.sp_pred[i])
+            coder.encode_bits(bt.sp_index[i] & 7u, 3, sink);
+    }
+    last = 0;
+    for (unsigned i = 0; i < n_blocks; ++i) {
+        if (t_copy(bt.type[i])) continue;
+        encode_sgolomb(coder, sink, (int16_t)((int16_t)bt.q_index[i] - last));
+        last = (int16_t)bt.q_index[i];
+    }
+
+    // residuals: Y (4 sub-blocks per MB), then U, then V
+    for (unsigned b = 0; b < n_blocks; ++b) {
+        if (t_copy(bt.type[b])) continue;
+        unsigned x = (b % wb) * 16, y = (b / wb) * 16;
+        const int16_t *mb = yp + y * yw + x;
+        int16_t dc = plane_dc_pred(yp, yw, x, y);
+        encode_block8(coder, sink, mb, yw, dc);
+        encode_block8(coder, sink, mb + 8, yw, mb[0]);
+        encode_block8(coder, sink, mb + 8 * yw, yw, mb[0]);
+        encode_block8(coder, sink, mb + 8 * yw + 8, yw, mb[8 * yw]);
+    }
+    unsigned cw = yw >> 1;
+    for (const int16_t *plane : {up, vp}) {
+        for (unsigned b = 0; b < n_blocks; ++b) {
+            if (t_copy(bt.type[b])) continue;
+            unsigned x = (b % wb) * 8, y = (b / wb) * 8;
+            int16_t dc = plane_dc_pred(plane, cw, x, y);
+            encode_block8(coder, sink, plane + y * cw + x, cw, dc);
+        }
+    }
+
+    coder.finish(sink);
+    if (sink.overflow) return -1;
+    return (long long)sink.finish();
+}
+
+// Deserializes one slice into the (persistent) table arrays and planes.
+// Returns the number of bits consumed from the source.
+long long evxn_decode_slice(
+    const uint8_t *data, unsigned long long bit_limit,
+    unsigned n_blocks, unsigned wb, unsigned hb,
+    uint8_t *type, uint8_t *target, int16_t *mx, int16_t *my,
+    uint8_t *sp_pred, uint8_t *sp_amount, uint8_t *sp_index,
+    uint8_t *q_index,
+    int16_t *yp, int16_t *up, int16_t *vp,
+    unsigned yw, unsigned yh) {
+    init_luts();
+    BitSource src{data, 0, bit_limit};
+    Abac coder;
+    coder.start_decode(src);
+
+    for (unsigned i = 0; i < n_blocks; ++i) {
+        type[i] = (uint8_t)coder.decode_bits(3, src);
+    }
+    for (unsigned i = 0; i < n_blocks; ++i) {
+        if (!t_intra(type[i])) target[i] = (uint8_t)coder.decode_bits(2, src);
+    }
+    int16_t last = 0;
+    for (unsigned i = 0; i < n_blocks; ++i) {
+        if (!t_motion(type[i])) continue;
+        mx[i] = (int16_t)(last + decode_sgolomb(coder, src));
+        last = mx[i];
+    }
+    last = 0;
+    for (unsigned i = 0; i < n_blocks; ++i) {
+        if (!t_motion(type[i])) continue;
+        my[i] = (int16_t)(last + decode_sgolomb(coder, src));
+        last = my[i];
+    }
+    for (unsigned i = 0; i < n_blocks; ++i) {
+        if (t_motion(type[i])) sp_pred[i] = (uint8_t)coder.decode_bit(src);
+    }
+    for (unsigned i = 0; i < n_blocks; ++i) {
+        if (t_motion(type[i]) && sp_pred[i])
+            sp_amount[i] = (uint8_t)coder.decode_bit(src);
+    }
+    for (unsigned i = 0; i < n_blocks; ++i) {
+        if (t_motion(type[i]) && sp_pred[i])
+            sp_index[i] = (uint8_t)coder.decode_bits(3, src);
+    }
+    last = 0;
+    for (unsigned i = 0; i < n_blocks; ++i) {
+        if (t_copy(type[i])) continue;
+        q_index[i] = (uint8_t)(last + decode_sgolomb(coder, src));
+        last = (int16_t)q_index[i];
+    }
+
+    for (unsigned b = 0; b < n_blocks; ++b) {
+        if (t_copy(type[b])) continue;
+        unsigned x = (b % wb) * 16, y = (b / wb) * 16;
+        int16_t *mb = yp + y * yw + x;
+        int16_t dc = plane_dc_pred(yp, yw, x, y);
+        decode_block8(coder, src, mb, yw, dc);
+        decode_block8(coder, src, mb + 8, yw, mb[0]);
+        decode_block8(coder, src, mb + 8 * yw, yw, mb[0]);
+        decode_block8(coder, src, mb + 8 * yw + 8, yw, mb[8 * yw]);
+    }
+    unsigned cw = yw >> 1;
+    for (int16_t *plane : {up, vp}) {
+        for (unsigned b = 0; b < n_blocks; ++b) {
+            if (t_copy(type[b])) continue;
+            unsigned x = (b % wb) * 8, y = (b / wb) * 8;
+            int16_t dc = plane_dc_pred(plane, cw, x, y);
+            decode_block8(coder, src, plane + y * cw + x, cw, dc);
+        }
+    }
+    return (long long)src.bit_pos;
+}
+
+} // extern "C"
