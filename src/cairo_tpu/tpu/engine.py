@@ -1,0 +1,341 @@
+"""Jitted per-frame encode/decode steps (fast mode, docs/FORMAT.md §7).
+
+Encode dataflow (single fused jit per frame type):
+  RGB -> YUV420 -> per-MB inter searches vs the 3 previous ring slots ->
+  classification merge -> dense residual DCT -> adaptive QP -> quantize ->
+  reconstruction into the ring slot -> band-scan deblock.
+Outputs (block table SoA + coefficient planes) stream to the host where the
+C++ entropy backend serializes the slice.
+
+The coefficient planes and the recon ring are carried state: copy-block
+regions must keep their stale contents (wire-critical, FORMAT.md §4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables
+from ..blocktypes import COPY_BIT, INTRA_BIT, MOTION_BIT, INTRA_DEFAULT
+from . import deblock as deblock_mod
+from . import motion as motion_mod
+from . import ops
+
+MB = tables.MACROBLOCK_SIZE
+RING = tables.REFERENCE_FRAME_COUNT
+
+
+def init_state(aligned_w: int, aligned_h: int):
+    """Carried codec state as a pytree of device arrays."""
+    shape_y = (aligned_h, aligned_w)
+    shape_c = (aligned_h // 2, aligned_w // 2)
+    return dict(
+        ring_y=jnp.zeros((RING,) + shape_y, jnp.int16),
+        ring_u=jnp.zeros((RING,) + shape_c, jnp.int16),
+        ring_v=jnp.zeros((RING,) + shape_c, jnp.int16),
+        coef_y=jnp.zeros(shape_y, jnp.int16),
+        coef_u=jnp.zeros(shape_c, jnp.int16),
+        coef_v=jnp.zeros(shape_c, jnp.int16),
+    )
+
+
+def _mb_coords(aligned_w, aligned_h):
+    wb, hb = aligned_w // MB, aligned_h // MB
+    idx = np.arange(wb * hb)
+    px = (idx % wb) * MB
+    py = (idx // wb) * MB
+    return jnp.asarray(px, jnp.int32), jnp.asarray(py, jnp.int32), wb, hb
+
+
+def _gather_pred(ring, slot_per_mb, bx, by, sp_pred, sp_amount, sp_index):
+    """Prediction blocks for all MBs from per-MB ring slots at (bx, by),
+    with optional sub-pel interpolation."""
+    ry, ru, rv = ring
+    height, width = ry.shape[1:]
+    n = bx.shape[0]
+    bx = jnp.clip(bx, 0, width - MB)
+    by = jnp.clip(by, 0, height - MB)
+
+    def gather(plane_stack, x, y, size):
+        rows = y[:, None] + jnp.arange(size)
+        cols = x[:, None] + jnp.arange(size)
+        return plane_stack[slot_per_mb[:, None, None], rows[:, :, None],
+                           cols[:, None, :]].astype(jnp.int32)
+
+    beta = (gather(ry, bx, by, MB),
+            gather(ru, bx >> 1, by >> 1, MB // 2),
+            gather(rv, bx >> 1, by >> 1, MB // 2))
+
+    # sub-pel neighbors
+    dir_map = jnp.asarray(
+        [(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), (-1, 1), (0, 1), (1, 1)],
+        jnp.int32)
+    d = dir_map[sp_index]
+    tx = jnp.clip(bx + d[:, 0], 0, width - MB)
+    ty = jnp.clip(by + d[:, 1], 0, height - MB)
+    sp = (gather(ry, tx, ty, MB),
+          gather(ru, tx >> 1, ty >> 1, MB // 2),
+          gather(rv, tx >> 1, ty >> 1, MB // 2))
+
+    out = []
+    use_sp = sp_pred[:, None, None]
+    amount = sp_amount[:, None, None]
+    for b, s in zip(beta, sp):
+        half = ops.lerp_half(b, s)
+        quarter = ops.lerp_quarter(b, s)
+        out.append(jnp.where(use_sp, jnp.where(amount, quarter, half), b))
+    return tuple(out)
+
+
+def _classify_inter(src, ring, px, py, quality, frame_index):
+    """Inter-frame classification (encode.cpp:17-67, fast mode)."""
+    n = px.shape[0]
+    best = dict(
+        sad=jnp.abs(src[0]).sum(axis=(1, 2), dtype=jnp.int32),
+        is_copy=jnp.zeros(n, bool), is_motion=jnp.zeros(n, bool),
+        is_intra=jnp.ones(n, bool),
+        target=jnp.zeros(n, jnp.int32),
+        motion_x=jnp.zeros(n, jnp.int32), motion_y=jnp.zeros(n, jnp.int32),
+        sp_pred=jnp.zeros(n, bool), sp_amount=jnp.zeros(n, bool),
+        sp_index=jnp.zeros(n, jnp.int32))
+
+    ry, ru, rv = ring
+    for offset in range(1, RING):
+        slot = (frame_index + RING - offset) % RING
+        ref = (ry[slot].astype(jnp.int32), ru[slot].astype(jnp.int32),
+               rv[slot].astype(jnp.int32))
+        cand = motion_mod.inter_search(src, ref, px, py, quality)
+        take_on_copy = cand["is_copy"] != best["is_copy"]
+        take = jnp.where(take_on_copy, cand["is_copy"],
+                         cand["sad"] < best["sad"])
+        best = dict(
+            sad=jnp.where(take, cand["sad"], best["sad"]),
+            is_copy=jnp.where(take, cand["is_copy"], best["is_copy"]),
+            is_motion=jnp.where(take, cand["is_motion"], best["is_motion"]),
+            is_intra=jnp.where(take, False, best["is_intra"]),
+            target=jnp.where(take, offset, best["target"]),
+            motion_x=jnp.where(take, cand["motion_x"], best["motion_x"]),
+            motion_y=jnp.where(take, cand["motion_y"], best["motion_y"]),
+            sp_pred=jnp.where(take, cand["sp_pred"], best["sp_pred"]),
+            sp_amount=jnp.where(take, cand["sp_amount"], best["sp_amount"]),
+            sp_index=jnp.where(take, cand["sp_index"], best["sp_index"]))
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "aligned_w",
+                                             "aligned_h", "is_inter"))
+def encode_step(rgb, state, frame_index, quality, *, width, height,
+                aligned_w, aligned_h, is_inter):
+    """One frame through the device pipeline. Returns (new_state, outputs)."""
+    px, py, wb, hb = _mb_coords(aligned_w, aligned_h)
+    n = wb * hb
+
+    # --- color conversion into the padded input (pad region stays zero)
+    pad_rgb = jnp.zeros((aligned_h, aligned_w, 3), jnp.uint8)
+    pad_rgb = pad_rgb.at[:height, :width].set(rgb)
+    y_full, u_full, v_full = ops.rgb_to_yuv420(pad_rgb)
+    ymask = (jnp.arange(aligned_h)[:, None] < height) & \
+            (jnp.arange(aligned_w)[None, :] < width)
+    cmask = ymask[::2, ::2]
+    y_in = jnp.where(ymask, y_full, 0)
+    u_in = jnp.where(cmask, u_full, 0)
+    v_in = jnp.where(cmask, v_full, 0)
+
+    src = (ops.plane_to_blocks(y_in, MB),
+           ops.plane_to_blocks(u_in, MB // 2),
+           ops.plane_to_blocks(v_in, MB // 2))
+
+    ring = (state["ring_y"], state["ring_u"], state["ring_v"])
+
+    # --- classification
+    if is_inter:
+        best = _classify_inter(src, ring, px, py, quality, frame_index)
+    else:
+        best = dict(
+            sad=jnp.zeros(n, jnp.int32),
+            is_copy=jnp.zeros(n, bool), is_motion=jnp.zeros(n, bool),
+            is_intra=jnp.ones(n, bool), target=jnp.zeros(n, jnp.int32),
+            motion_x=jnp.zeros(n, jnp.int32), motion_y=jnp.zeros(n, jnp.int32),
+            sp_pred=jnp.zeros(n, bool), sp_amount=jnp.zeros(n, bool),
+            sp_index=jnp.zeros(n, jnp.int32))
+
+    block_type = (best["is_intra"].astype(jnp.int32) * INTRA_BIT
+                  | best["is_motion"].astype(jnp.int32) * MOTION_BIT
+                  | best["is_copy"].astype(jnp.int32) * COPY_BIT)
+
+    # --- prediction blocks (zero for INTRA_DEFAULT)
+    slot_per_mb = (frame_index + RING - best["target"]) % RING
+    pred = _gather_pred(ring, slot_per_mb, px + best["motion_x"],
+                        py + best["motion_y"], best["sp_pred"],
+                        best["sp_amount"], best["sp_index"])
+    intra_mask = best["is_intra"][:, None, None]
+    pred = tuple(jnp.where(intra_mask, 0, p) for p in pred)
+
+    # --- residual transform
+    res = tuple(ops.wrap16(s.astype(jnp.int32) - p)
+                for s, p in zip(src, pred))
+    ty = ops.quads_to_mb(ops.fdct8(ops.mb_quads(res[0])))
+    tu = ops.fdct8(res[1])
+    tv = ops.fdct8(res[2])
+
+    # --- adaptive QP + quantization
+    qp = ops.adaptive_qp(quality, ty)
+    qp4 = jnp.repeat(qp, 4)
+    quads = ops.mb_quads(ty).reshape(-1, 8, 8)
+    intra_qm = best["is_intra"] & ~best["is_motion"]  # INTRA_DEFAULT only
+    qm4 = jnp.repeat(intra_qm, 4)[:, None, None]
+    qy = jnp.where(qm4, ops.quantize_8x8(quads, qp4, True, True),
+                   ops.quantize_8x8(quads, qp4, False, True))
+    qu = jnp.where(intra_qm[:, None, None],
+                   ops.quantize_8x8(tu, qp, True, False),
+                   ops.quantize_8x8(tu, qp, False, False))
+    qv = jnp.where(intra_qm[:, None, None],
+                   ops.quantize_8x8(tv, qp, True, False),
+                   ops.quantize_8x8(tv, qp, False, False))
+
+    # --- coefficient planes (stale persistence for copy blocks)
+    copy_mb = best["is_copy"]
+    qy_mb = ops.quads_to_mb(qy.reshape(-1, 4, 8, 8))
+    new_coef_y = jnp.where(copy_mb[:, None, None],
+                           ops.plane_to_blocks(state["coef_y"], MB).astype(jnp.int32),
+                           qy_mb)
+    new_coef_u = jnp.where(copy_mb[:, None, None],
+                           ops.plane_to_blocks(state["coef_u"], MB // 2).astype(jnp.int32),
+                           qu)
+    new_coef_v = jnp.where(copy_mb[:, None, None],
+                           ops.plane_to_blocks(state["coef_v"], MB // 2).astype(jnp.int32),
+                           qv)
+    coef_y = ops.blocks_to_plane(new_coef_y, aligned_h, aligned_w).astype(jnp.int16)
+    coef_u = ops.blocks_to_plane(new_coef_u, aligned_h // 2, aligned_w // 2).astype(jnp.int16)
+    coef_v = ops.blocks_to_plane(new_coef_v, aligned_h // 2, aligned_w // 2).astype(jnp.int16)
+
+    # --- reconstruction (decoder path, decode.cpp:15-144)
+    dq_y = jnp.where(qm4, ops.dequantize_8x8(qy, qp4, True, True),
+                     ops.dequantize_8x8(qy, qp4, False, True))
+    dq_u = jnp.where(intra_qm[:, None, None],
+                     ops.dequantize_8x8(qu, qp, True, False),
+                     ops.dequantize_8x8(qu, qp, False, False))
+    dq_v = jnp.where(intra_qm[:, None, None],
+                     ops.dequantize_8x8(qv, qp, True, False),
+                     ops.dequantize_8x8(qv, qp, False, False))
+    ry_blocks = ops.quads_to_mb(ops.idct8(dq_y.reshape(-1, 4, 8, 8)))
+    ru_blocks = ops.idct8(dq_u)
+    rv_blocks = ops.idct8(dq_v)
+
+    copy3 = copy_mb[:, None, None]
+    rec = tuple(
+        jnp.where(copy3, p, ops.wrap16(r + p))
+        for r, p in zip((ry_blocks, ru_blocks, rv_blocks), pred))
+
+    rec_y = ops.blocks_to_plane(rec[0], aligned_h, aligned_w)
+    rec_u = ops.blocks_to_plane(rec[1], aligned_h // 2, aligned_w // 2)
+    rec_v = ops.blocks_to_plane(rec[2], aligned_h // 2, aligned_w // 2)
+
+    # --- in-loop deblock on the new recon
+    copy_map = copy_mb.reshape(hb, wb)
+    q_map = qp.reshape(hb, wb)
+    q_map = jnp.where(copy_map, 0, q_map)  # q of copy blocks not serialized
+    rec_y, rec_u, rec_v = deblock_mod.deblock_frame(rec_y, rec_u, rec_v,
+                                                    copy_map, q_map)
+
+    slot = frame_index % RING
+    new_state = dict(
+        ring_y=jax.lax.dynamic_update_index_in_dim(
+            state["ring_y"], rec_y.astype(jnp.int16), slot, 0),
+        ring_u=jax.lax.dynamic_update_index_in_dim(
+            state["ring_u"], rec_u.astype(jnp.int16), slot, 0),
+        ring_v=jax.lax.dynamic_update_index_in_dim(
+            state["ring_v"], rec_v.astype(jnp.int16), slot, 0),
+        coef_y=coef_y, coef_u=coef_u, coef_v=coef_v,
+    )
+    outputs = dict(
+        block_type=block_type.astype(jnp.uint8),
+        prediction_target=best["target"].astype(jnp.uint8),
+        motion_x=best["motion_x"].astype(jnp.int16),
+        motion_y=best["motion_y"].astype(jnp.int16),
+        sp_pred=best["sp_pred"], sp_amount=best["sp_amount"],
+        sp_index=best["sp_index"].astype(jnp.uint8),
+        q_index=jnp.where(copy_mb, 0, qp).astype(jnp.uint8),
+        coef_y=coef_y, coef_u=coef_u, coef_v=coef_v,
+    )
+    return new_state, outputs
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "aligned_w",
+                                             "aligned_h"))
+def decode_step(table, coef, state, frame_index, *, width, height,
+                aligned_w, aligned_h):
+    """Parallel reconstruction of one parsed frame (no intra-motion blocks;
+    the host checks that precondition and falls back to cpuref otherwise)."""
+    px, py, wb, hb = _mb_coords(aligned_w, aligned_h)
+
+    block_type = table["block_type"].astype(jnp.int32)
+    is_intra = (block_type & INTRA_BIT) != 0
+    is_motion = (block_type & MOTION_BIT) != 0
+    is_copy = (block_type & COPY_BIT) != 0
+
+    # stale-field gating (FORMAT.md §4)
+    target = jnp.where(is_intra, 0, table["prediction_target"].astype(jnp.int32))
+    mx = jnp.where(is_motion, table["motion_x"].astype(jnp.int32), 0)
+    my = jnp.where(is_motion, table["motion_y"].astype(jnp.int32), 0)
+    sp_pred = is_motion & table["sp_pred"]
+    qp = table["q_index"].astype(jnp.int32)
+
+    ring = (state["ring_y"], state["ring_u"], state["ring_v"])
+    slot_per_mb = (frame_index + RING - target) % RING
+    pred = _gather_pred(ring, slot_per_mb, px + mx, py + my, sp_pred,
+                        table["sp_amount"], table["sp_index"].astype(jnp.int32))
+    intra_default = is_intra & ~is_motion
+    pred = tuple(jnp.where(intra_default[:, None, None], 0, p) for p in pred)
+
+    cy = ops.plane_to_blocks(coef["coef_y"].astype(jnp.int32), MB)
+    cu = ops.plane_to_blocks(coef["coef_u"].astype(jnp.int32), MB // 2)
+    cv = ops.plane_to_blocks(coef["coef_v"].astype(jnp.int32), MB // 2)
+
+    qp4 = jnp.repeat(qp, 4)
+    intra_qm = intra_default
+    qm4 = jnp.repeat(intra_qm, 4)[:, None, None]
+    quads = ops.mb_quads(cy).reshape(-1, 8, 8)
+    dq_y = jnp.where(qm4, ops.dequantize_8x8(quads, qp4, True, True),
+                     ops.dequantize_8x8(quads, qp4, False, True))
+    dq_u = jnp.where(intra_qm[:, None, None],
+                     ops.dequantize_8x8(cu, qp, True, False),
+                     ops.dequantize_8x8(cu, qp, False, False))
+    dq_v = jnp.where(intra_qm[:, None, None],
+                     ops.dequantize_8x8(cv, qp, True, False),
+                     ops.dequantize_8x8(cv, qp, False, False))
+    ry_blocks = ops.quads_to_mb(ops.idct8(dq_y.reshape(-1, 4, 8, 8)))
+    ru_blocks = ops.idct8(dq_u)
+    rv_blocks = ops.idct8(dq_v)
+
+    copy3 = is_copy[:, None, None]
+    rec = tuple(jnp.where(copy3, p, ops.wrap16(r + p))
+                for r, p in zip((ry_blocks, ru_blocks, rv_blocks), pred))
+
+    rec_y = ops.blocks_to_plane(rec[0], aligned_h, aligned_w)
+    rec_u = ops.blocks_to_plane(rec[1], aligned_h // 2, aligned_w // 2)
+    rec_v = ops.blocks_to_plane(rec[2], aligned_h // 2, aligned_w // 2)
+
+    copy_map = is_copy.reshape(hb, wb)
+    q_map = jnp.where(copy_map, 0, qp.reshape(hb, wb))
+    rec_y, rec_u, rec_v = deblock_mod.deblock_frame(rec_y, rec_u, rec_v,
+                                                    copy_map, q_map)
+
+    slot = frame_index % RING
+    new_state = dict(
+        ring_y=jax.lax.dynamic_update_index_in_dim(
+            state["ring_y"], rec_y.astype(jnp.int16), slot, 0),
+        ring_u=jax.lax.dynamic_update_index_in_dim(
+            state["ring_u"], rec_u.astype(jnp.int16), slot, 0),
+        ring_v=jax.lax.dynamic_update_index_in_dim(
+            state["ring_v"], rec_v.astype(jnp.int16), slot, 0),
+        coef_y=state["coef_y"], coef_u=state["coef_u"], coef_v=state["coef_v"],
+    )
+    rgb = ops.yuv420_to_rgb(rec_y[:height, :width],
+                            rec_u[:(height + 1) // 2, :(width + 1) // 2],
+                            rec_v[:(height + 1) // 2, :(width + 1) // 2])
+    return new_state, rgb
