@@ -51,44 +51,45 @@ def _mb_coords(aligned_w, aligned_h):
     return jnp.asarray(px, jnp.int32), jnp.asarray(py, jnp.int32), wb, hb
 
 
-def _gather_pred(ring, slot_per_mb, bx, by, sp_pred, sp_amount, sp_index):
-    """Prediction blocks for all MBs from per-MB ring slots at (bx, by),
-    with optional sub-pel interpolation."""
+_SP_DIR_MAP = np.asarray(
+    [(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), (-1, 1), (0, 1), (1, 1)],
+    np.int32)
+
+
+def _gather_pred(ring, frame_index, target, mx, my, sp_pred, sp_amount,
+                 sp_index):
+    """Prediction blocks for all MBs, gather-free.
+
+    Per static ring offset: slice that slot, build per-MB windows, extract
+    blocks at the per-MB motion offset (+ sub-pel neighbor and lerp), then
+    mask-select by each MB's prediction target. Valid streams have
+    |mv| <= 31 (the search's cumulative reach), so windows cover every case.
+    """
     ry, ru, rv = ring
-    height, width = ry.shape[1:]
-    n = bx.shape[0]
-    bx = jnp.clip(bx, 0, width - MB)
-    by = jnp.clip(by, 0, height - MB)
-
-    def gather(plane_stack, x, y, size):
-        rows = y[:, None] + jnp.arange(size)
-        cols = x[:, None] + jnp.arange(size)
-        return plane_stack[slot_per_mb[:, None, None], rows[:, :, None],
-                           cols[:, None, :]].astype(jnp.int32)
-
-    beta = (gather(ry, bx, by, MB),
-            gather(ru, bx >> 1, by >> 1, MB // 2),
-            gather(rv, bx >> 1, by >> 1, MB // 2))
-
-    # sub-pel neighbors
-    dir_map = jnp.asarray(
-        [(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), (-1, 1), (0, 1), (1, 1)],
-        jnp.int32)
-    d = dir_map[sp_index]
-    tx = jnp.clip(bx + d[:, 0], 0, width - MB)
-    ty = jnp.clip(by + d[:, 1], 0, height - MB)
-    sp = (gather(ry, tx, ty, MB),
-          gather(ru, tx >> 1, ty >> 1, MB // 2),
-          gather(rv, tx >> 1, ty >> 1, MB // 2))
-
-    out = []
+    n = mx.shape[0]
+    d = jnp.asarray(_SP_DIR_MAP)[sp_index]
     use_sp = sp_pred[:, None, None]
     amount = sp_amount[:, None, None]
-    for b, s in zip(beta, sp):
-        half = ops.lerp_half(b, s)
-        quarter = ops.lerp_quarter(b, s)
-        out.append(jnp.where(use_sp, jnp.where(amount, quarter, half), b))
-    return tuple(out)
+
+    pred = None
+    for offset in range(RING):
+        slot = (frame_index + RING - offset) % RING
+        planes = (ry[slot].astype(jnp.int32), ru[slot].astype(jnp.int32),
+                  rv[slot].astype(jnp.int32))
+        wins = motion_mod.search_windows(planes)
+        beta = motion_mod.window_blocks(wins, mx, my)
+        sp = motion_mod.window_blocks(wins, mx + d[:, 0], my + d[:, 1])
+        pick = (target == offset)[:, None, None]
+        blocks = []
+        for b, s in zip(beta, sp):
+            half = ops.lerp_half(b, s)
+            quarter = ops.lerp_quarter(b, s)
+            blocks.append(jnp.where(use_sp, jnp.where(amount, quarter, half), b))
+        if pred is None:
+            pred = tuple(jnp.where(pick, b, 0) for b in blocks)
+        else:
+            pred = tuple(jnp.where(pick, b, p) for b, p in zip(blocks, pred))
+    return pred
 
 
 def _classify_inter(src, ring, px, py, quality, frame_index):
@@ -168,9 +169,8 @@ def encode_step(rgb, state, frame_index, quality, *, width, height,
                   | best["is_copy"].astype(jnp.int32) * COPY_BIT)
 
     # --- prediction blocks (zero for INTRA_DEFAULT)
-    slot_per_mb = (frame_index + RING - best["target"]) % RING
-    pred = _gather_pred(ring, slot_per_mb, px + best["motion_x"],
-                        py + best["motion_y"], best["sp_pred"],
+    pred = _gather_pred(ring, frame_index, best["target"], best["motion_x"],
+                        best["motion_y"], best["sp_pred"],
                         best["sp_amount"], best["sp_index"])
     intra_mask = best["is_intra"][:, None, None]
     pred = tuple(jnp.where(intra_mask, 0, p) for p in pred)
@@ -286,8 +286,7 @@ def decode_step(table, coef, state, frame_index, *, width, height,
     qp = table["q_index"].astype(jnp.int32)
 
     ring = (state["ring_y"], state["ring_u"], state["ring_v"])
-    slot_per_mb = (frame_index + RING - target) % RING
-    pred = _gather_pred(ring, slot_per_mb, px + mx, py + my, sp_pred,
+    pred = _gather_pred(ring, frame_index, target, mx, my, sp_pred,
                         table["sp_amount"], table["sp_index"].astype(jnp.int32))
     intra_default = is_intra & ~is_motion
     pred = tuple(jnp.where(intra_default[:, None, None], 0, p) for p in pred)

@@ -1,0 +1,60 @@
+"""Gather-free per-macroblock window extraction.
+
+TPU XLA lowers per-row composite gathers poorly (~25 ms per (8160,16,16)
+fetch at 1080p) and Mosaic DMA requires 128-aligned lane slices, so instead:
+
+1. `mb_windows`: every MB's search window is at a *static* position
+   (px-pad, py-pad), so the (N, S, S) window tensor is built from static
+   slices of the padded plane — pure data movement XLA handles well.
+2. `extract_blocks`: selecting a block at a *per-MB dynamic* offset inside
+   its window is two batched one-hot matmuls (rows then columns) — the MXU
+   does the gathering.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+
+
+def pad_plane(plane, pad_top, pad_left, pad_bottom, pad_right):
+    return jnp.pad(plane, ((pad_top, pad_bottom), (pad_left, pad_right)))
+
+
+def mb_windows(plane, mb_size: int, pad: int):
+    """(H, W) plane -> (hb*wb, S, S) windows, S = mb_size + 2*pad.
+
+    Window n covers plane rows [py-pad, py+mb_size+pad) for the MB at
+    (px, py); out-of-frame area is zero-padded.
+    """
+    height, width = plane.shape
+    hb, wb = height // mb_size, width // mb_size
+    size = mb_size + 2 * pad
+    padded = jnp.pad(plane, ((pad, pad), (pad, pad)))
+    rows = jnp.stack([padded[r * mb_size:r * mb_size + size] for r in range(hb)])
+    wins = jnp.stack([rows[:, :, c * mb_size:c * mb_size + size]
+                      for c in range(wb)], axis=1)
+    return wins.reshape(hb * wb, size, size)
+
+
+def extract_blocks(windows, ox, oy, block: int):
+    """Extracts (N, block, block) blocks at per-window offsets (ox, oy).
+
+    windows: (N, S, S); ox/oy: (N,) offsets into the window (0 = top-left).
+    Implemented as one-hot row/column matmuls (MXU-friendly).
+    """
+    n, size, _ = windows.shape
+    iota_s = jnp.arange(size)
+    iota_b = jnp.arange(block)
+    ox = jnp.clip(ox, 0, size - block)
+    oy = jnp.clip(oy, 0, size - block)
+    # rows_sel[n, j, s] = 1 iff s == oy[n] + j
+    rows_sel = (iota_s[None, None, :] ==
+                (oy[:, None, None] + iota_b[None, :, None])).astype(jnp.int32)
+    cols_sel = (iota_s[None, :, None] ==
+                (ox[:, None, None] + iota_b[None, None, :])).astype(jnp.int32)
+    tmp = jnp.einsum("njs,nsc->njc", rows_sel, windows.astype(jnp.int32),
+                     preferred_element_type=jnp.int32)
+    return jnp.einsum("njc,ncb->njb", tmp, cols_sel,
+                      preferred_element_type=jnp.int32)
