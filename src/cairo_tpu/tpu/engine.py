@@ -92,7 +92,7 @@ def _gather_pred(ring, frame_index, target, mx, my, sp_pred, sp_amount,
     return pred
 
 
-def _classify_inter(src, ring, px, py, quality, frame_index):
+def _classify_inter(src, src_planes, ring, px, py, quality, frame_index):
     """Inter-frame classification (encode.cpp:17-67, fast mode)."""
     n = px.shape[0]
     best = dict(
@@ -109,7 +109,7 @@ def _classify_inter(src, ring, px, py, quality, frame_index):
         slot = (frame_index + RING - offset) % RING
         ref = (ry[slot].astype(jnp.int32), ru[slot].astype(jnp.int32),
                rv[slot].astype(jnp.int32))
-        cand = motion_mod.inter_search(src, ref, px, py, quality)
+        cand = motion_mod.inter_search(src, src_planes, ref, px, py, quality)
         take_on_copy = cand["is_copy"] != best["is_copy"]
         take = jnp.where(take_on_copy, cand["is_copy"],
                          cand["sad"] < best["sad"])
@@ -154,7 +154,8 @@ def encode_step(rgb, state, frame_index, quality, *, width, height,
 
     # --- classification
     if is_inter:
-        best = _classify_inter(src, ring, px, py, quality, frame_index)
+        best = _classify_inter(src, (y_in, u_in, v_in), ring, px, py,
+                               quality, frame_index)
     else:
         best = dict(
             sad=jnp.zeros(n, jnp.int32),

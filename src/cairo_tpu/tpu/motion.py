@@ -14,6 +14,7 @@ candidate evaluation over all 8160 MBs of a 1080p frame is ~0.15 ms.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,43 +59,7 @@ def _mad(src, cand):
     return jnp.maximum(my, jnp.maximum(mu, mv)).astype(jnp.int32)
 
 
-class SearchState:
-    """Per-MB selection state carried through the candidate sequence.
-
-    Offsets (mx, my) are relative to the MB position — the reference tracks
-    absolute (best_x, best_y); both formulations are equivalent."""
-
-    def __init__(self, mx, my, best_sad, best_mad, best_ssd, frozen):
-        self.mx = mx
-        self.my = my
-        self.best_sad = best_sad
-        self.best_mad = best_mad
-        self.best_ssd = best_ssd
-        self.frozen = frozen
-
-
-def _evaluate(state, mx, my, src, wins, valid, mad_thr):
-    """One candidate per MB, acceptance per motion.cpp:111-149."""
-    cand = window_blocks(wins, mx, my)
-    sad = _sad(src[0], cand[0])
-    mad = _mad(src, cand)
-    ssd = mx * mx + my * my
-    copy_branch = state.best_mad < mad_thr
-    accept_copy = (mad < state.best_mad) | \
-        ((mad == state.best_mad) & (ssd < state.best_ssd))
-    accept_plain = (sad < state.best_sad) | \
-        ((sad == state.best_sad) & (ssd < state.best_ssd) & (sad < SAD_THRESHOLD)) | \
-        (mad < mad_thr)
-    accept = valid & ~state.frozen & \
-        jnp.where(copy_branch, accept_copy, accept_plain)
-    state.mx = jnp.where(accept, mx, state.mx)
-    state.my = jnp.where(accept, my, state.my)
-    state.best_sad = jnp.where(accept, sad, state.best_sad)
-    state.best_mad = jnp.where(accept, mad, state.best_mad)
-    state.best_ssd = jnp.where(accept, ssd, state.best_ssd)
-
-
-def inter_search(src, ref_planes, px, py, quality):
+def inter_search_exact(src, ref_planes, px, py, quality):
     """Full-pel + sub-pel search for every MB against one reference frame.
 
     src: (Y (N,16,16), U (N,8,8), V (N,8,8)) int32 source blocks;
@@ -102,61 +67,304 @@ def inter_search(src, ref_planes, px, py, quality):
     """
     height, width = ref_planes[0].shape
     mad_thr = (jnp.int32(quality) >> 2) + 1
-    wins = search_windows(ref_planes)
+    # materialize the windows once (prevents re-fusing the 200MB slice tree
+    # into each of the ~60 candidate evaluations)
+    wins = jax.lax.optimization_barrier(search_windows(ref_planes))
     n = px.shape[0]
     zero = jnp.zeros(n, jnp.int32)
 
     colocated = window_blocks(wins, zero, zero)
-    state = SearchState(
-        mx=zero, my=zero,
-        best_sad=_sad(src[0], colocated[0]),
-        best_mad=_mad(src, colocated),
-        best_ssd=jnp.full(n, INT32_MAX),
-        frozen=jnp.zeros(n, dtype=bool))
-    state.frozen = state.best_mad < mad_thr  # co-located early-out
+    co_sad = _sad(src[0], colocated[0])
+    co_mad = _mad(src, colocated)
+    frozen = co_mad < mad_thr  # co-located early-out
 
     def in_bounds(mx, my):
         cx, cy = px + mx, py + my
         return (cx >= 0) & (cx <= width - MB) & (cy >= 0) & (cy <= height - MB)
 
+    # 5 rings x 9 candidates as one scan; each ring re-bases on the current
+    # best, so the base is refreshed every 9 steps via a ring-start flag.
+    offsets = []
     for step in (16, 8, 4, 2, 1):
-        base_x, base_y = state.mx, state.my
         for j in (-step, 0, step):
             for i in (-step, 0, step):
-                mx, my = base_x + i, base_y + j
-                _evaluate(state, mx, my, src, wins, in_bounds(mx, my), mad_thr)
+                offsets.append((i, j, 1 if (i, j) == (-step, -step) else 0))
+    offsets = jnp.asarray(offsets, jnp.int32)  # (45, 3)
+
+    def ring_body(carry, off):
+        mx, my, sad, mad, ssd, bx, by = carry
+        is_ring_start = off[2] == 1
+        bx = jnp.where(is_ring_start, mx, bx)
+        by = jnp.where(is_ring_start, my, by)
+        cx, cy = bx + off[0], by + off[1]
+        cand = window_blocks(wins, cx, cy)
+        c_sad = _sad(src[0], cand[0])
+        c_mad = _mad(src, cand)
+        c_ssd = cx * cx + cy * cy
+        copy_branch = mad < mad_thr
+        accept_copy = (c_mad < mad) | ((c_mad == mad) & (c_ssd < ssd))
+        accept_plain = (c_sad < sad) | \
+            ((c_sad == sad) & (c_ssd < ssd) & (c_sad < SAD_THRESHOLD)) | \
+            (c_mad < mad_thr)
+        accept = in_bounds(cx, cy) & ~frozen & \
+            jnp.where(copy_branch, accept_copy, accept_plain)
+        mx = jnp.where(accept, cx, mx)
+        my = jnp.where(accept, cy, my)
+        sad = jnp.where(accept, c_sad, sad)
+        mad = jnp.where(accept, c_mad, mad)
+        ssd = jnp.where(accept, c_ssd, ssd)
+        return (mx, my, sad, mad, ssd, bx, by), None
+
+    carry = (zero, zero, co_sad, co_mad, jnp.full(n, INT32_MAX), zero, zero)
+    (mx, my, best_sad, best_mad, best_ssd, _, _), _ = jax.lax.scan(
+        ring_body, carry, offsets)
 
     # sub-pel: 8 neighbors × {half, quarter} against the full-pel best
-    best_block = window_blocks(wins, state.mx, state.my)
-    sp_enabled = jnp.zeros(n, dtype=bool)
-    sp_amount = jnp.zeros(n, dtype=bool)
+    best_block = jax.lax.optimization_barrier(window_blocks(wins, mx, my))
+    sp_offsets = jnp.asarray(
+        [(di, dj, sp_dir_to_index(di, dj))
+         for dj in (-1, 0, 1) for di in (-1, 0, 1) if (di, dj) != (0, 0)],
+        jnp.int32)  # (8, 3)
+
+    def sp_body(carry, off):
+        sad, mad, sp_en, sp_am, sp_ix = carry
+        tmx, tmy = mx + off[0], my + off[1]
+        valid = in_bounds(tmx, tmy) & ~frozen
+        test = window_blocks(wins, tmx, tmy)
+        for amount, lerp in ((False, ops.lerp_half), (True, ops.lerp_quarter)):
+            cand = tuple(lerp(a, b) for a, b in zip(best_block, test))
+            c_sad = _sad(src[0], cand[0])
+            c_mad = _mad(src, cand)
+            copy_branch = mad < mad_thr
+            accept_copy = c_mad < mad
+            accept_plain = ((c_sad < sad) & (c_sad < SAD_THRESHOLD)) | \
+                (c_mad < mad_thr)
+            accept = valid & jnp.where(copy_branch, accept_copy, accept_plain)
+            sp_en = jnp.where(accept, True, sp_en)
+            sp_am = jnp.where(accept, amount, sp_am)
+            sp_ix = jnp.where(accept, off[2], sp_ix)
+            sad = jnp.where(accept, c_sad, sad)
+            mad = jnp.where(accept, c_mad, mad)
+        return (sad, mad, sp_en, sp_am, sp_ix), None
+
+    carry = (best_sad, best_mad, jnp.zeros(n, bool), jnp.zeros(n, bool),
+             jnp.zeros(n, jnp.int32))
+    (best_sad, best_mad, sp_enabled, sp_amount, sp_index), _ = jax.lax.scan(
+        sp_body, carry, sp_offsets)
+
+    motion = (mx != 0) | (my != 0) | sp_enabled
+    copy = best_mad < mad_thr
+    return dict(sad=best_sad, mad=best_mad,
+                motion_x=mx, motion_y=my,
+                is_motion=motion, is_copy=copy,
+                sp_pred=sp_enabled, sp_amount=sp_amount, sp_index=sp_index)
+
+
+# --------------------------------------------------------------------------
+# Dense search (fast-mode default)
+#
+# Exhaustively evaluates every full-pel offset in [-R, R]^2 with shifted-
+# plane passes (static slices, no per-MB extraction), then selects per MB
+# with a deterministic policy mirroring the reference's preferences:
+#   1. co-located early-out if its MAD < threshold (motion.cpp:450-453);
+#   2. else among copy-grade offsets (MAD < threshold): lexicographic
+#      (MAD, pixel-distance^2, scan order);
+#   3. else lexicographic (SAD, pixel-distance^2, scan order).
+# This dominates the reference's 45-candidate hill-climb in RD terms (it
+# sees every offset the initial ring could reach) while being pure dense
+# VPU work. Sub-pel refinement then replays the reference's 8-direction
+# half/quarter evaluation from per-MB windows.
+
+DENSE_R = RADIUS  # +/-16
+
+
+def _box_reduce(diff, mb_h, mb_w):
+    hb = diff.shape[0] // mb_h
+    wb = diff.shape[1] // mb_w
+    d = diff.reshape(hb, mb_h, wb, mb_w)
+    return d.sum(axis=(1, 3), dtype=jnp.int32), d.max(axis=(1, 3))
+
+
+def _dense_maps(src_plane, ref_plane, mb_size):
+    """(n_off_y, hb, wb, n_off_x) SAD-sum and abs-max maps for all offsets
+    in [-R, R]^2 (Y) with one fori pass per dy row."""
+    height, width = src_plane.shape
+    span = 2 * DENSE_R + 1
+    hb, wb = height // mb_size, width // mb_size
+    padded = jnp.pad(ref_plane.astype(jnp.int16), DENSE_R)
+    src = src_plane.astype(jnp.int32)
+
+    def row(dy, maps):
+        sad_maps, max_maps = maps
+        slab = jax.lax.dynamic_slice(padded, (dy, 0), (height, width + 2 * DENSE_R))
+        sads, maxs = [], []
+        for dx in range(span):
+            diff = jnp.abs(src - slab[:, dx:dx + width].astype(jnp.int32))
+            s, m = _box_reduce(diff, mb_size, mb_size)
+            sads.append(s)
+            maxs.append(m)
+        sad_row = jnp.stack(sads, axis=-1)[None]   # (1, hb, wb, span)
+        max_row = jnp.stack(maxs, axis=-1)[None]
+        sad_maps = jax.lax.dynamic_update_slice(sad_maps, sad_row, (dy, 0, 0, 0))
+        max_maps = jax.lax.dynamic_update_slice(max_maps, max_row, (dy, 0, 0, 0))
+        return sad_maps, max_maps
+
+    init = (jnp.zeros((span, hb, wb, span), jnp.int32),
+            jnp.zeros((span, hb, wb, span), jnp.int32))
+    return jax.lax.fori_loop(0, span, row, init)
+
+
+def _chroma_max_maps(src_u, src_v, ref_u, ref_v):
+    """(n_off, hb, wb, n_off) chroma abs-max maps over offsets [-R/2, R/2]."""
+    height, width = src_u.shape
+    radius = DENSE_R // 2
+    span = 2 * radius + 1
+    hb, wb = height // 8, width // 8
+    pu = jnp.pad(ref_u.astype(jnp.int16), radius)
+    pv = jnp.pad(ref_v.astype(jnp.int16), radius)
+    su = src_u.astype(jnp.int32)
+    sv = src_v.astype(jnp.int32)
+
+    def row(dy, maps):
+        slab_u = jax.lax.dynamic_slice(pu, (dy, 0), (height, width + 2 * radius))
+        slab_v = jax.lax.dynamic_slice(pv, (dy, 0), (height, width + 2 * radius))
+        maxs = []
+        for dx in range(span):
+            du = jnp.abs(su - slab_u[:, dx:dx + width].astype(jnp.int32))
+            dv = jnp.abs(sv - slab_v[:, dx:dx + width].astype(jnp.int32))
+            d = jnp.maximum(du, dv).reshape(hb, 8, wb, 8)
+            maxs.append(d.max(axis=(1, 3)))
+        row_map = jnp.stack(maxs, axis=-1)[None]
+        return jax.lax.dynamic_update_slice(maps, row_map, (dy, 0, 0, 0))
+
+    return jax.lax.fori_loop(0, span, row,
+                             jnp.zeros((span, hb, wb, span), jnp.int32))
+
+
+def _lex_argmin(primary, secondary, valid):
+    """Per-row index of the first (scan-order) minimum of (primary,
+    secondary) among valid entries. All args (N, K)."""
+    big = INT32_MAX
+    p = jnp.where(valid, primary, big)
+    pm = p.min(axis=1, keepdims=True)
+    tie = valid & (p == pm)
+    s = jnp.where(tie, secondary, big)
+    sm = s.min(axis=1, keepdims=True)
+    tie2 = tie & (s == sm)
+    return jnp.argmax(tie2, axis=1), pm[:, 0]
+
+
+def inter_search(src, src_planes, ref_planes, px, py, quality):
+    """Dense fast-mode search. src: per-MB blocks (for sub-pel); src_planes /
+    ref_planes: (y, u, v) planes. Returns the same dict as
+    inter_search_exact."""
+    height, width = ref_planes[0].shape
+    mad_thr = (jnp.int32(quality) >> 2) + 1
+    span = 2 * DENSE_R + 1
+    n = px.shape[0]
+
+    ysad, ymax = _dense_maps(src_planes[0], ref_planes[0], MB)
+    cmax = _chroma_max_maps(src_planes[1], src_planes[2],
+                            ref_planes[1], ref_planes[2])
+
+    # combine chroma into MAD per Y offset: chroma offset = (off >> 1)
+    off = np.arange(span) - DENSE_R
+    cidx = np.asarray((off >> 1) + DENSE_R // 2)
+    mad_full = jnp.maximum(ymax, cmax[cidx][:, :, :, cidx])
+
+    # flatten to (N, span*span) in (dy, dx) scan order
+    sad_f = ysad.transpose(1, 2, 0, 3).reshape(n, span * span)
+    mad_f = mad_full.transpose(1, 2, 0, 3).reshape(n, span * span)
+
+    dxo = np.tile(off, span)
+    dyo = np.repeat(off, span)
+    ssd = jnp.asarray(dxo * dxo + dyo * dyo, jnp.int32)[None, :]
+    valid = ((px[:, None] + dxo[None, :] >= 0) &
+             (px[:, None] + dxo[None, :] <= width - MB) &
+             (py[:, None] + dyo[None, :] >= 0) &
+             (py[:, None] + dyo[None, :] <= height - MB))
+
+    center = DENSE_R * span + DENSE_R
+    co_sad = sad_f[:, center]
+    co_mad = mad_f[:, center]
+    frozen = co_mad < mad_thr
+
+    copy_ok = (mad_f < mad_thr) & valid
+    has_copy = copy_ok.any(axis=1)
+    idx_copy, _ = _lex_argmin(mad_f, ssd + 0 * mad_f, copy_ok)
+    idx_plain, _ = _lex_argmin(sad_f, ssd + 0 * sad_f, valid)
+    sel = jnp.where(frozen, center, jnp.where(has_copy, idx_copy, idx_plain))
+
+    take = lambda m: jnp.take_along_axis(m, sel[:, None], axis=1)[:, 0]
+    best_sad = take(sad_f)
+    best_mad = take(mad_f)
+    mx = (sel % span).astype(jnp.int32) - DENSE_R
+    my = (sel // span).astype(jnp.int32) - DENSE_R
+
+    # ---- sub-pel refinement from per-MB windows
+    ywin = extract.extract_blocks(
+        extract.mb_windows(ref_planes[0], MB, DENSE_R + 1),
+        mx + DENSE_R, my + DENSE_R, MB + 2)
+    cpad = DENSE_R // 2 + 1
+    uwin = extract.extract_blocks(
+        extract.mb_windows(ref_planes[1], MB // 2, cpad),
+        (mx >> 1) + cpad - 1, (my >> 1) + cpad - 1, MB // 2 + 2)
+    vwin = extract.extract_blocks(
+        extract.mb_windows(ref_planes[2], MB // 2, cpad),
+        (mx >> 1) + cpad - 1, (my >> 1) + cpad - 1, MB // 2 + 2)
+    ywin, uwin, vwin = jax.lax.optimization_barrier((ywin, uwin, vwin))
+
+    best_y = ywin[:, 1:17, 1:17]
+    best_u = uwin[:, 1:9, 1:9]
+    best_v = vwin[:, 1:9, 1:9]
+
+    sp_enabled = jnp.zeros(n, bool)
+    sp_amount = jnp.zeros(n, bool)
     sp_index = jnp.zeros(n, jnp.int32)
+    sad_s, mad_s = best_sad, best_mad
     for dj in (-1, 0, 1):
         for di in (-1, 0, 1):
             if di == 0 and dj == 0:
                 continue
-            tmx, tmy = state.mx + di, state.my + dj
-            valid = in_bounds(tmx, tmy)
-            test = window_blocks(wins, tmx, tmy)
+            tmx, tmy = mx + di, my + dj
+            valid_sp = ((px + tmx >= 0) & (px + tmx <= width - MB) &
+                        (py + tmy >= 0) & (py + tmy <= height - MB) & ~frozen)
+            test_y = ywin[:, 1 + dj:17 + dj, 1 + di:17 + di]
+            # chroma neighbor offset depends on the parity of mx/my
+            cdx = ((mx + di) >> 1) - (mx >> 1)
+            cdy = ((my + dj) >> 1) - (my >> 1)
+            # rows: static dj>>... build row slices per cdy via select
+            def cslice(win, cdx, cdy):
+                rows = [win[:, 0:8, :], win[:, 1:9, :], win[:, 2:10, :]]
+                r = jnp.where((cdy == -1)[:, None, None], rows[0],
+                              jnp.where((cdy == 0)[:, None, None], rows[1],
+                                        rows[2]))
+                cols = [r[:, :, 0:8], r[:, :, 1:9], r[:, :, 2:10]]
+                return jnp.where((cdx == -1)[:, None, None], cols[0],
+                                 jnp.where((cdx == 0)[:, None, None], cols[1],
+                                           cols[2]))
+            test_u = cslice(uwin, cdx, cdy)
+            test_v = cslice(vwin, cdx, cdy)
             for amount, lerp in ((False, ops.lerp_half), (True, ops.lerp_quarter)):
-                cand = tuple(lerp(a, b) for a, b in zip(best_block, test))
-                sad = _sad(src[0], cand[0])
-                mad = _mad(src, cand)
-                copy_branch = state.best_mad < mad_thr
-                accept_copy = mad < state.best_mad
-                accept_plain = ((sad < state.best_sad) & (sad < SAD_THRESHOLD)) | \
-                    (mad < mad_thr)
-                accept = valid & ~state.frozen & \
-                    jnp.where(copy_branch, accept_copy, accept_plain)
+                cy_ = lerp(best_y, test_y)
+                cu_ = lerp(best_u, test_u)
+                cv_ = lerp(best_v, test_v)
+                c_sad = _sad(src[0], cy_)
+                c_mad = _mad(src, (cy_, cu_, cv_))
+                copy_branch = mad_s < mad_thr
+                accept_copy = c_mad < mad_s
+                accept_plain = ((c_sad < sad_s) & (c_sad < SAD_THRESHOLD)) | \
+                    (c_mad < mad_thr)
+                accept = valid_sp & jnp.where(copy_branch, accept_copy,
+                                              accept_plain)
                 sp_enabled = jnp.where(accept, True, sp_enabled)
                 sp_amount = jnp.where(accept, amount, sp_amount)
                 sp_index = jnp.where(accept, sp_dir_to_index(di, dj), sp_index)
-                state.best_sad = jnp.where(accept, sad, state.best_sad)
-                state.best_mad = jnp.where(accept, mad, state.best_mad)
+                sad_s = jnp.where(accept, c_sad, sad_s)
+                mad_s = jnp.where(accept, c_mad, mad_s)
 
-    motion = (state.mx != 0) | (state.my != 0) | sp_enabled
-    copy = state.best_mad < mad_thr
-    return dict(sad=state.best_sad, mad=state.best_mad,
-                motion_x=state.mx, motion_y=state.my,
+    motion = (mx != 0) | (my != 0) | sp_enabled
+    copy = mad_s < mad_thr
+    return dict(sad=sad_s, mad=mad_s, motion_x=mx, motion_y=my,
                 is_motion=motion, is_copy=copy,
                 sp_pred=sp_enabled, sp_amount=sp_amount, sp_index=sp_index)
