@@ -22,16 +22,23 @@ def pad_plane(plane, pad_top, pad_left, pad_bottom, pad_right):
     return jnp.pad(plane, ((pad_top, pad_bottom), (pad_left, pad_right)))
 
 
-def mb_windows(plane, mb_size: int, pad: int):
-    """(H, W) plane -> (hb*wb, S, S) windows, S = mb_size + 2*pad.
+def mb_windows(plane, mb_size: int, pad: int, prepad_x: int = 0):
+    """(H, W+2*prepad_x) plane -> (hb*wb, S, S) windows, S = mb_size+2*pad.
 
     Window n covers plane rows [py-pad, py+mb_size+pad) for the MB at
-    (px, py); out-of-frame area is zero-padded.
+    (px, py); out-of-frame area is zero-padded. `prepad_x` marks an existing
+    horizontal margin (neighbor-tile halo under spatial sharding) that is
+    used instead of zero padding.
     """
-    height, width = plane.shape
+    height = plane.shape[0]
+    width = plane.shape[1] - 2 * prepad_x
     hb, wb = height // mb_size, width // mb_size
     size = mb_size + 2 * pad
-    padded = jnp.pad(plane, ((pad, pad), (pad, pad)))
+    if prepad_x > pad:
+        plane = plane[:, prepad_x - pad:plane.shape[1] - (prepad_x - pad)]
+        padded = jnp.pad(plane, ((pad, pad), (0, 0)))
+    else:
+        padded = jnp.pad(plane, ((pad, pad), (pad - prepad_x, pad - prepad_x)))
     rows = jnp.stack([padded[r * mb_size:r * mb_size + size] for r in range(hb)])
     wins = jnp.stack([rows[:, :, c * mb_size:c * mb_size + size]
                       for c in range(wb)], axis=1)

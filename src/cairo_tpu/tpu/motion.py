@@ -185,43 +185,14 @@ def _box_reduce(diff, mb_h, mb_w):
     return d.sum(axis=(1, 3), dtype=jnp.int32), d.max(axis=(1, 3))
 
 
-def _dense_maps(src_plane, ref_plane, mb_size):
-    """(n_off_y, hb, wb, n_off_x) SAD-sum and abs-max maps for all offsets
-    in [-R, R]^2 (Y) with one fori pass per dy row."""
-    height, width = src_plane.shape
-    span = 2 * DENSE_R + 1
-    hb, wb = height // mb_size, width // mb_size
-    padded = jnp.pad(ref_plane.astype(jnp.int16), DENSE_R)
-    src = src_plane.astype(jnp.int32)
-
-    def row(dy, maps):
-        sad_maps, max_maps = maps
-        slab = jax.lax.dynamic_slice(padded, (dy, 0), (height, width + 2 * DENSE_R))
-        sads, maxs = [], []
-        for dx in range(span):
-            diff = jnp.abs(src - slab[:, dx:dx + width].astype(jnp.int32))
-            s, m = _box_reduce(diff, mb_size, mb_size)
-            sads.append(s)
-            maxs.append(m)
-        sad_row = jnp.stack(sads, axis=-1)[None]   # (1, hb, wb, span)
-        max_row = jnp.stack(maxs, axis=-1)[None]
-        sad_maps = jax.lax.dynamic_update_slice(sad_maps, sad_row, (dy, 0, 0, 0))
-        max_maps = jax.lax.dynamic_update_slice(max_maps, max_row, (dy, 0, 0, 0))
-        return sad_maps, max_maps
-
-    init = (jnp.zeros((span, hb, wb, span), jnp.int32),
-            jnp.zeros((span, hb, wb, span), jnp.int32))
-    return jax.lax.fori_loop(0, span, row, init)
-
-
-def _chroma_max_maps(src_u, src_v, ref_u, ref_v):
-    """(n_off, hb, wb, n_off) chroma abs-max maps over offsets [-R/2, R/2]."""
+def _chroma_max_maps(src_u, src_v, ref_u_wide, ref_v_wide, radius):
+    """(n_off, hb, wb, n_off) chroma abs-max maps over offsets
+    [-radius, radius]. ref planes carry a `radius` horizontal margin."""
     height, width = src_u.shape
-    radius = DENSE_R // 2
     span = 2 * radius + 1
     hb, wb = height // 8, width // 8
-    pu = jnp.pad(ref_u.astype(jnp.int16), radius)
-    pv = jnp.pad(ref_v.astype(jnp.int16), radius)
+    pu = jnp.pad(ref_u_wide.astype(jnp.int16), ((radius, radius), (0, 0)))
+    pv = jnp.pad(ref_v_wide.astype(jnp.int16), ((radius, radius), (0, 0)))
     su = src_u.astype(jnp.int32)
     sv = src_v.astype(jnp.int32)
 
@@ -241,76 +212,130 @@ def _chroma_max_maps(src_u, src_v, ref_u, ref_v):
                              jnp.zeros((span, hb, wb, span), jnp.int32))
 
 
-def _lex_argmin(primary, secondary, valid):
-    """Per-row index of the first (scan-order) minimum of (primary,
-    secondary) among valid entries. All args (N, K)."""
-    big = INT32_MAX
-    p = jnp.where(valid, primary, big)
-    pm = p.min(axis=1, keepdims=True)
-    tie = valid & (p == pm)
-    s = jnp.where(tie, secondary, big)
-    sm = s.min(axis=1, keepdims=True)
-    tie2 = tie & (s == sm)
-    return jnp.argmax(tie2, axis=1), pm[:, 0]
+def _dense_select(src_y, ref_y_wide, cmax, px, py, x0, width, height,
+                  mad_thr, hb, wb):
+    """Sweeps all offsets in [-R, R]^2, carrying per-MB running selections
+    instead of materializing offset maps (keeps HBM traffic to the two
+    planes per shifted row).
+
+    Returns (mx, my, sad, mad, frozen) per MB under the fast-mode policy:
+    co-located early-out; else lexicographic (MAD, dist^2, scan) among
+    copy-grade offsets; else lexicographic (SAD, dist^2, scan).
+    """
+    span = 2 * DENSE_R + 1
+    cr = DENSE_R // 2
+    tile_w = src_y.shape[1]
+    padded = jnp.pad(ref_y_wide.astype(jnp.int16), ((DENSE_R, DENSE_R), (0, 0)))
+    src = src_y.astype(jnp.int32)
+    pxm = px.reshape(hb, wb)
+    pym = py.reshape(hb, wb)
+    big = jnp.full((hb, wb), INT32_MAX, jnp.int32)
+    zero = jnp.zeros((hb, wb), jnp.int32)
+
+    def row(dy, carry):
+        (p_sad, p_ssd, p_mad, p_ox, p_oy,
+         c_mad, c_ssd, c_sad, c_ox, c_oy,
+         has_copy, co_sad, co_mad) = carry
+        oy = dy - DENSE_R
+        slab = jax.lax.dynamic_slice(padded, (dy, 0),
+                                     (src_y.shape[0], tile_w + 2 * DENSE_R))
+        cdy = (oy >> 1) + cr
+        cmax_row = jax.lax.dynamic_slice(
+            cmax, (cdy, 0, 0, 0), (1, hb, wb, 2 * cr + 1))[0]
+        for dx in range(span):
+            ox = dx - DENSE_R
+            diff = jnp.abs(src - slab[:, dx:dx + tile_w].astype(jnp.int32))
+            d = diff.reshape(hb, MB, wb, MB)
+            sad = d.sum(axis=(1, 3), dtype=jnp.int32)
+            mad = jnp.maximum(d.max(axis=(1, 3)),
+                              cmax_row[:, :, (ox >> 1) + cr])
+            ssd = jnp.int32(ox * ox) + oy * oy
+            gx = x0 + pxm + ox
+            gy = pym + oy
+            valid = (gx >= 0) & (gx <= width - MB) &                     (gy >= 0) & (gy <= height - MB)
+
+            better = valid & ((sad < p_sad) | ((sad == p_sad) & (ssd < p_ssd)))
+            p_sad = jnp.where(better, sad, p_sad)
+            p_ssd = jnp.where(better, ssd, p_ssd)
+            p_mad = jnp.where(better, mad, p_mad)
+            p_ox = jnp.where(better, ox, p_ox)
+            p_oy = jnp.where(better, oy, p_oy)
+
+            is_copy = valid & (mad < mad_thr)
+            better_c = is_copy & ((mad < c_mad) | ((mad == c_mad) & (ssd < c_ssd)))
+            c_mad = jnp.where(better_c, mad, c_mad)
+            c_ssd = jnp.where(better_c, ssd, c_ssd)
+            c_sad = jnp.where(better_c, sad, c_sad)
+            c_ox = jnp.where(better_c, ox, c_ox)
+            c_oy = jnp.where(better_c, oy, c_oy)
+            has_copy = has_copy | is_copy
+
+            if dx == DENSE_R:
+                is_center = oy == 0
+                co_sad = jnp.where(is_center, sad, co_sad)
+                co_mad = jnp.where(is_center, mad, co_mad)
+        return (p_sad, p_ssd, p_mad, p_ox, p_oy,
+                c_mad, c_ssd, c_sad, c_ox, c_oy, has_copy, co_sad, co_mad)
+
+    carry = (big, big, big, zero, zero,
+             big, big, big, zero, zero,
+             jnp.zeros((hb, wb), bool), zero, zero)
+    (p_sad, p_ssd, p_mad, p_ox, p_oy,
+     c_mad, c_ssd, c_sad, c_ox, c_oy,
+     has_copy, co_sad, co_mad) = jax.lax.fori_loop(0, span, row, carry)
+
+    frozen = co_mad < mad_thr
+    use_copy = has_copy & ~frozen
+    mx = jnp.where(frozen, 0, jnp.where(use_copy, c_ox, p_ox)).reshape(-1)
+    my = jnp.where(frozen, 0, jnp.where(use_copy, c_oy, p_oy)).reshape(-1)
+    sad = jnp.where(frozen, co_sad, jnp.where(use_copy, c_sad, p_sad)).reshape(-1)
+    mad = jnp.where(frozen, co_mad, jnp.where(use_copy, c_mad, p_mad)).reshape(-1)
+    return mx, my, sad, mad, frozen.reshape(-1)
 
 
-def inter_search(src, src_planes, ref_planes, px, py, quality):
-    """Dense fast-mode search. src: per-MB blocks (for sub-pel); src_planes /
-    ref_planes: (y, u, v) planes. Returns the same dict as
-    inter_search_exact."""
-    height, width = ref_planes[0].shape
+def inter_search(src, src_planes, ref_planes, px, py, quality, *,
+                 x0=0, full_width=None, halo=0):
+    """Dense fast-mode search. src: per-MB blocks (for sub-pel); src_planes:
+    (y, u, v) core planes; ref_planes: (y, u, v) reference planes carrying a
+    horizontal margin of `halo` columns each side (0 = single chip).
+
+    Under spatial sharding, `x0` is the tile's global pixel origin and
+    `full_width` the global frame width, so candidate validity is judged
+    against the real frame while all addressing stays tile-local."""
+    height = src_planes[0].shape[0]
+    width = full_width if full_width is not None else src_planes[0].shape[1]
     mad_thr = (jnp.int32(quality) >> 2) + 1
     span = 2 * DENSE_R + 1
     n = px.shape[0]
+    cr = DENSE_R // 2
 
-    ysad, ymax = _dense_maps(src_planes[0], ref_planes[0], MB)
+    def hmargin(plane, radius, chroma):
+        h = halo // 2 if chroma else halo
+        if h == radius:
+            return plane
+        if h > radius:
+            return plane[:, h - radius:plane.shape[1] - (h - radius)]
+        return jnp.pad(plane, ((0, 0), (radius - h, radius - h)))
+
     cmax = _chroma_max_maps(src_planes[1], src_planes[2],
-                            ref_planes[1], ref_planes[2])
-
-    # combine chroma into MAD per Y offset: chroma offset = (off >> 1)
-    off = np.arange(span) - DENSE_R
-    cidx = np.asarray((off >> 1) + DENSE_R // 2)
-    mad_full = jnp.maximum(ymax, cmax[cidx][:, :, :, cidx])
-
-    # flatten to (N, span*span) in (dy, dx) scan order
-    sad_f = ysad.transpose(1, 2, 0, 3).reshape(n, span * span)
-    mad_f = mad_full.transpose(1, 2, 0, 3).reshape(n, span * span)
-
-    dxo = np.tile(off, span)
-    dyo = np.repeat(off, span)
-    ssd = jnp.asarray(dxo * dxo + dyo * dyo, jnp.int32)[None, :]
-    valid = ((px[:, None] + dxo[None, :] >= 0) &
-             (px[:, None] + dxo[None, :] <= width - MB) &
-             (py[:, None] + dyo[None, :] >= 0) &
-             (py[:, None] + dyo[None, :] <= height - MB))
-
-    center = DENSE_R * span + DENSE_R
-    co_sad = sad_f[:, center]
-    co_mad = mad_f[:, center]
-    frozen = co_mad < mad_thr
-
-    copy_ok = (mad_f < mad_thr) & valid
-    has_copy = copy_ok.any(axis=1)
-    idx_copy, _ = _lex_argmin(mad_f, ssd + 0 * mad_f, copy_ok)
-    idx_plain, _ = _lex_argmin(sad_f, ssd + 0 * sad_f, valid)
-    sel = jnp.where(frozen, center, jnp.where(has_copy, idx_copy, idx_plain))
-
-    take = lambda m: jnp.take_along_axis(m, sel[:, None], axis=1)[:, 0]
-    best_sad = take(sad_f)
-    best_mad = take(mad_f)
-    mx = (sel % span).astype(jnp.int32) - DENSE_R
-    my = (sel // span).astype(jnp.int32) - DENSE_R
+                            hmargin(ref_planes[1], cr, True),
+                            hmargin(ref_planes[2], cr, True), cr)
+    hb = height // MB
+    wb = src_planes[0].shape[1] // MB
+    mx, my, best_sad, best_mad, frozen = _dense_select(
+        src_planes[0], hmargin(ref_planes[0], DENSE_R, False), cmax,
+        px, py, x0, width, height, mad_thr, hb, wb)
 
     # ---- sub-pel refinement from per-MB windows
     ywin = extract.extract_blocks(
-        extract.mb_windows(ref_planes[0], MB, DENSE_R + 1),
+        extract.mb_windows(ref_planes[0], MB, DENSE_R + 1, prepad_x=halo),
         mx + DENSE_R, my + DENSE_R, MB + 2)
     cpad = DENSE_R // 2 + 1
     uwin = extract.extract_blocks(
-        extract.mb_windows(ref_planes[1], MB // 2, cpad),
+        extract.mb_windows(ref_planes[1], MB // 2, cpad, prepad_x=halo // 2),
         (mx >> 1) + cpad - 1, (my >> 1) + cpad - 1, MB // 2 + 2)
     vwin = extract.extract_blocks(
-        extract.mb_windows(ref_planes[2], MB // 2, cpad),
+        extract.mb_windows(ref_planes[2], MB // 2, cpad, prepad_x=halo // 2),
         (mx >> 1) + cpad - 1, (my >> 1) + cpad - 1, MB // 2 + 2)
     ywin, uwin, vwin = jax.lax.optimization_barrier((ywin, uwin, vwin))
 
@@ -327,7 +352,7 @@ def inter_search(src, src_planes, ref_planes, px, py, quality):
             if di == 0 and dj == 0:
                 continue
             tmx, tmy = mx + di, my + dj
-            valid_sp = ((px + tmx >= 0) & (px + tmx <= width - MB) &
+            valid_sp = ((x0 + px + tmx >= 0) & (x0 + px + tmx <= width - MB) &
                         (py + tmy >= 0) & (py + tmy <= height - MB) & ~frozen)
             test_y = ywin[:, 1 + dj:17 + dj, 1 + di:17 + di]
             # chroma neighbor offset depends on the parity of mx/my
