@@ -1,0 +1,88 @@
+"""Driver benchmark: encode+decode frames/s per chip at 1080p, quality 16.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N/0.36}
+
+Baseline: the reference C++ encoder+decoder measured on this host's CPU
+(BASELINE.md): 0.38 fps encode, 0.36 fps encode+decode at 1080p q16.
+
+The pipeline is measured in steady state (first-frame compilation excluded;
+the persistent jax compilation cache makes later runs cheap). Device work,
+device<->host transfer and host entropy coding overlap via the async API.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "src"))
+
+import numpy as np
+
+BASELINE_ENC_DEC_FPS = 0.36  # reference C++ on host CPU (BASELINE.md)
+
+
+def synth_frames(width, height, n_frames, seed=7):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:height, 0:width]
+    background = (128 + 80 * np.sin(xx * 0.05) * np.cos(yy * 0.07)).astype(np.int16)
+    frames = []
+    for t in range(n_frames):
+        frame = np.roll(background, t * 3, axis=1).copy()
+        for s in range(6):
+            sx = int((s * 137 + t * (5 + s)) % (width - 40))
+            sy = int((s * 83 + t * (3 + s)) % (height - 40))
+            frame[sy:sy + 40, sx:sx + 40] = 30 + 30 * s
+        frame = frame + rng.integers(-4, 5, frame.shape)
+        luma = np.clip(frame, 0, 255).astype(np.uint8)
+        frames.append(np.ascontiguousarray(
+            np.stack([luma, np.roll(luma, 1, axis=0), 255 - luma], axis=-1)))
+    return frames
+
+
+def main():
+    from cairo_tpu.tpu.api import TpuDecoder, TpuEncoder
+
+    width, height = 1920, 1080
+    warmup, measured = 2, 10
+    frames = synth_frames(width, height, warmup + measured)
+
+    enc = TpuEncoder()
+    enc.set_quality(16)
+    dec = TpuDecoder()
+
+    for f in frames[:warmup]:
+        dec.decode(enc.encode(f))
+
+    t0 = time.perf_counter()
+    chunks = [enc.encode(f) for f in frames[warmup:]]
+    t_enc = time.perf_counter()
+    outs = [dec.decode(c) for c in chunks]
+    t_dec = time.perf_counter()
+
+    n = len(chunks)
+    enc_fps = n / (t_enc - t0)
+    dec_fps = n / (t_dec - t_enc)
+    total_fps = n / (t_dec - t0)
+    psnr = 10 * np.log10(255.0 ** 2 / max(1e-9, float(np.mean(
+        (outs[-1].astype(np.float64) - frames[-1].astype(np.float64)) ** 2))))
+
+    result = {
+        "metric": "encode+decode fps/chip @1080p q16 (evx1-conformant)",
+        "value": round(total_fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(total_fps / BASELINE_ENC_DEC_FPS, 2),
+        "encode_fps": round(enc_fps, 3),
+        "decode_fps": round(dec_fps, 3),
+        "psnr_db": round(psnr, 2),
+        "kbits_per_frame": round(sum(len(c) for c in chunks) * 8 / n / 1000, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -115,7 +115,11 @@ class TpuDecoder:
         has_intra_motion = bool(np.any(
             (self._bt.block_type & INTRA_BIT).astype(bool)
             & (self._bt.block_type & MOTION_BIT).astype(bool)))
-        if has_intra_motion:
+        is_motion_blk = (self._bt.block_type & MOTION_BIT).astype(bool)
+        mv_in_range = bool(np.all(
+            (np.abs(self._bt.motion_x[is_motion_blk]) <= 16)
+            & (np.abs(self._bt.motion_y[is_motion_blk]) <= 16)))
+        if has_intra_motion or not mv_in_range:
             rgb = self._decode_sequential(index)
         else:
             table = dict(

@@ -33,6 +33,9 @@ def init_state(aligned_w: int, aligned_h: int):
     """Carried codec state as a pytree of device arrays."""
     shape_y = (aligned_h, aligned_w)
     shape_c = (aligned_h // 2, aligned_w // 2)
+    n = (aligned_h // MB) * (aligned_w // MB)
+    ysz = MB + 2 * motion_mod.Y_WPAD
+    csz = MB // 2 + 2 * motion_mod.C_WPAD
     return dict(
         ring_y=jnp.zeros((RING,) + shape_y, jnp.int16),
         ring_u=jnp.zeros((RING,) + shape_c, jnp.int16),
@@ -40,6 +43,10 @@ def init_state(aligned_w: int, aligned_h: int):
         coef_y=jnp.zeros(shape_y, jnp.int16),
         coef_u=jnp.zeros(shape_c, jnp.int16),
         coef_v=jnp.zeros(shape_c, jnp.int16),
+        # cached per-MB prediction/sub-pel windows per ring slot
+        win_y=jnp.zeros((RING, n, ysz, ysz), jnp.int16),
+        win_u=jnp.zeros((RING, n, csz, csz), jnp.int16),
+        win_v=jnp.zeros((RING, n, csz, csz), jnp.int16),
     )
 
 
@@ -51,48 +58,29 @@ def _mb_coords(aligned_w, aligned_h):
     return jnp.asarray(px, jnp.int32), jnp.asarray(py, jnp.int32), wb, hb
 
 
-_SP_DIR_MAP = np.asarray(
-    [(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), (-1, 1), (0, 1), (1, 1)],
-    np.int32)
-
-
-def _gather_pred(ring, frame_index, target, mx, my, sp_pred, sp_amount,
+def _gather_pred(state, frame_index, target, mx, my, sp_pred, sp_amount,
                  sp_index):
-    """Prediction blocks for all MBs, gather-free.
+    """Prediction blocks for all MBs from the cached per-slot windows.
 
-    Per static ring offset: slice that slot, build per-MB windows, extract
-    blocks at the per-MB motion offset (+ sub-pel neighbor and lerp), then
-    mask-select by each MB's prediction target. Valid streams have
-    |mv| <= 31 (the search's cumulative reach), so windows cover every case.
+    The per-MB window is picked from its prediction target's ring slot with
+    a masked select (bandwidth-bound, no gathers), then the block and its
+    sub-pel neighbor are extracted with one-hot matmuls. Valid fast-path
+    streams have |mv| <= 16 (api checks before dispatch).
     """
-    ry, ru, rv = ring
-    n = mx.shape[0]
-    d = jnp.asarray(_SP_DIR_MAP)[sp_index]
-    use_sp = sp_pred[:, None, None]
-    amount = sp_amount[:, None, None]
-
-    pred = None
-    for offset in range(RING):
-        slot = (frame_index + RING - offset) % RING
-        planes = (ry[slot].astype(jnp.int32), ru[slot].astype(jnp.int32),
-                  rv[slot].astype(jnp.int32))
-        wins = motion_mod.search_windows(planes)
-        beta = motion_mod.window_blocks(wins, mx, my)
-        sp = motion_mod.window_blocks(wins, mx + d[:, 0], my + d[:, 1])
-        pick = (target == offset)[:, None, None]
-        blocks = []
-        for b, s in zip(beta, sp):
-            half = ops.lerp_half(b, s)
-            quarter = ops.lerp_quarter(b, s)
-            blocks.append(jnp.where(use_sp, jnp.where(amount, quarter, half), b))
-        if pred is None:
-            pred = tuple(jnp.where(pick, b, 0) for b in blocks)
-        else:
-            pred = tuple(jnp.where(pick, b, p) for b, p in zip(blocks, pred))
-    return pred
+    slot_per_mb = (frame_index + RING - target) % RING
+    def pick(stack):
+        sel = None
+        for s_ in range(RING):
+            m = (slot_per_mb == s_)[:, None, None]
+            sel = jnp.where(m, stack[s_], 0 if sel is None else sel)
+        return sel
+    wins = (pick(state["win_y"]), pick(state["win_u"]), pick(state["win_v"]))
+    return motion_mod.pred_block_from_windows(
+        wins, mx, my, sp_pred, sp_amount, sp_index.astype(jnp.int32))
 
 
-def _classify_inter(src, src_planes, ring, px, py, quality, frame_index):
+def _classify_inter(src, src_planes, ring, state_wins, px, py, quality,
+                    frame_index):
     """Inter-frame classification (encode.cpp:17-67, fast mode)."""
     n = px.shape[0]
     best = dict(
@@ -109,7 +97,9 @@ def _classify_inter(src, src_planes, ring, px, py, quality, frame_index):
         slot = (frame_index + RING - offset) % RING
         ref = (ry[slot].astype(jnp.int32), ru[slot].astype(jnp.int32),
                rv[slot].astype(jnp.int32))
-        cand = motion_mod.inter_search(src, src_planes, ref, px, py, quality)
+        wins = (state_wins[0][slot], state_wins[1][slot], state_wins[2][slot])
+        cand = motion_mod.inter_search(src, src_planes, ref, wins, px, py,
+                                       quality)
         take_on_copy = cand["is_copy"] != best["is_copy"]
         take = jnp.where(take_on_copy, cand["is_copy"],
                          cand["sad"] < best["sad"])
@@ -154,8 +144,10 @@ def encode_step(rgb, state, frame_index, quality, *, width, height,
 
     # --- classification
     if is_inter:
-        best = _classify_inter(src, (y_in, u_in, v_in), ring, px, py,
-                               quality, frame_index)
+        best = _classify_inter(
+            src, (y_in, u_in, v_in), ring,
+            (state["win_y"], state["win_u"], state["win_v"]), px, py,
+            quality, frame_index)
     else:
         best = dict(
             sad=jnp.zeros(n, jnp.int32),
@@ -170,7 +162,7 @@ def encode_step(rgb, state, frame_index, quality, *, width, height,
                   | best["is_copy"].astype(jnp.int32) * COPY_BIT)
 
     # --- prediction blocks (zero for INTRA_DEFAULT)
-    pred = _gather_pred(ring, frame_index, best["target"], best["motion_x"],
+    pred = _gather_pred(state, frame_index, best["target"], best["motion_x"],
                         best["motion_y"], best["sp_pred"],
                         best["sp_amount"], best["sp_index"])
     intra_mask = best["is_intra"][:, None, None]
@@ -244,6 +236,7 @@ def encode_step(rgb, state, frame_index, quality, *, width, height,
                                                     copy_map, q_map)
 
     slot = frame_index % RING
+    nwy, nwu, nwv = motion_mod.pred_windows((rec_y, rec_u, rec_v))
     new_state = dict(
         ring_y=jax.lax.dynamic_update_index_in_dim(
             state["ring_y"], rec_y.astype(jnp.int16), slot, 0),
@@ -251,6 +244,12 @@ def encode_step(rgb, state, frame_index, quality, *, width, height,
             state["ring_u"], rec_u.astype(jnp.int16), slot, 0),
         ring_v=jax.lax.dynamic_update_index_in_dim(
             state["ring_v"], rec_v.astype(jnp.int16), slot, 0),
+        win_y=jax.lax.dynamic_update_index_in_dim(
+            state["win_y"], nwy.astype(jnp.int16), slot, 0),
+        win_u=jax.lax.dynamic_update_index_in_dim(
+            state["win_u"], nwu.astype(jnp.int16), slot, 0),
+        win_v=jax.lax.dynamic_update_index_in_dim(
+            state["win_v"], nwv.astype(jnp.int16), slot, 0),
         coef_y=coef_y, coef_u=coef_u, coef_v=coef_v,
     )
     outputs = dict(
@@ -286,8 +285,7 @@ def decode_step(table, coef, state, frame_index, *, width, height,
     sp_pred = is_motion & table["sp_pred"]
     qp = table["q_index"].astype(jnp.int32)
 
-    ring = (state["ring_y"], state["ring_u"], state["ring_v"])
-    pred = _gather_pred(ring, frame_index, target, mx, my, sp_pred,
+    pred = _gather_pred(state, frame_index, target, mx, my, sp_pred,
                         table["sp_amount"], table["sp_index"].astype(jnp.int32))
     intra_default = is_intra & ~is_motion
     pred = tuple(jnp.where(intra_default[:, None, None], 0, p) for p in pred)
@@ -326,6 +324,7 @@ def decode_step(table, coef, state, frame_index, *, width, height,
                                                     copy_map, q_map)
 
     slot = frame_index % RING
+    nwy, nwu, nwv = motion_mod.pred_windows((rec_y, rec_u, rec_v))
     new_state = dict(
         ring_y=jax.lax.dynamic_update_index_in_dim(
             state["ring_y"], rec_y.astype(jnp.int16), slot, 0),
@@ -333,6 +332,12 @@ def decode_step(table, coef, state, frame_index, *, width, height,
             state["ring_u"], rec_u.astype(jnp.int16), slot, 0),
         ring_v=jax.lax.dynamic_update_index_in_dim(
             state["ring_v"], rec_v.astype(jnp.int16), slot, 0),
+        win_y=jax.lax.dynamic_update_index_in_dim(
+            state["win_y"], nwy.astype(jnp.int16), slot, 0),
+        win_u=jax.lax.dynamic_update_index_in_dim(
+            state["win_u"], nwu.astype(jnp.int16), slot, 0),
+        win_v=jax.lax.dynamic_update_index_in_dim(
+            state["win_v"], nwv.astype(jnp.int16), slot, 0),
         coef_y=state["coef_y"], coef_u=state["coef_u"], coef_v=state["coef_v"],
     )
     rgb = ops.yuv420_to_rgb(rec_y[:height, :width],

@@ -293,7 +293,49 @@ def _dense_select(src_y, ref_y_wide, cmax, px, py, x0, width, height,
     return mx, my, sad, mad, frozen.reshape(-1)
 
 
-def inter_search(src, src_planes, ref_planes, px, py, quality, *,
+
+
+# Window geometry shared by sub-pel search and prediction assembly:
+# Y windows pad DENSE_R+1 (=17) around each MB -> (N, 50, 50);
+# chroma pad DENSE_R//2+1 (=9) -> (N, 26, 26). A block at motion offset m
+# with sub-pel neighbor d lives at window offset m+d+pad, d in [-1, 1].
+Y_WPAD = DENSE_R + 1
+C_WPAD = DENSE_R // 2 + 1
+
+
+def pred_windows(ref_planes, halo=0):
+    """Builds the per-MB prediction/sub-pel windows for one frame."""
+    y, u, v = ref_planes
+    return (extract.mb_windows(y, MB, Y_WPAD, prepad_x=halo),
+            extract.mb_windows(u, MB // 2, C_WPAD, prepad_x=halo // 2),
+            extract.mb_windows(v, MB // 2, C_WPAD, prepad_x=halo // 2))
+
+
+def pred_block_from_windows(wins, mx, my, sp_pred, sp_amount, sp_index):
+    """Assembles the (possibly sub-pel interpolated) prediction macroblock
+    for every MB from its cached windows."""
+    wy, wu, wv = wins
+    d = jnp.asarray(
+        [(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), (-1, 1), (0, 1), (1, 1)],
+        jnp.int32)[sp_index]
+    beta_y = extract.extract_blocks(wy, mx + Y_WPAD, my + Y_WPAD, MB)
+    beta_u = extract.extract_blocks(wu, (mx >> 1) + C_WPAD, (my >> 1) + C_WPAD, MB // 2)
+    beta_v = extract.extract_blocks(wv, (mx >> 1) + C_WPAD, (my >> 1) + C_WPAD, MB // 2)
+    tx, ty = mx + d[:, 0], my + d[:, 1]
+    sp_y = extract.extract_blocks(wy, tx + Y_WPAD, ty + Y_WPAD, MB)
+    sp_u = extract.extract_blocks(wu, (tx >> 1) + C_WPAD, (ty >> 1) + C_WPAD, MB // 2)
+    sp_v = extract.extract_blocks(wv, (tx >> 1) + C_WPAD, (ty >> 1) + C_WPAD, MB // 2)
+    use_sp = sp_pred[:, None, None]
+    amount = sp_amount[:, None, None]
+    out = []
+    for b, t in ((beta_y, sp_y), (beta_u, sp_u), (beta_v, sp_v)):
+        half = ops.lerp_half(b, t)
+        quarter = ops.lerp_quarter(b, t)
+        out.append(jnp.where(use_sp, jnp.where(amount, quarter, half), b))
+    return tuple(out)
+
+
+def inter_search(src, src_planes, ref_planes, wins, px, py, quality, *,
                  x0=0, full_width=None, halo=0):
     """Dense fast-mode search. src: per-MB blocks (for sub-pel); src_planes:
     (y, u, v) core planes; ref_planes: (y, u, v) reference planes carrying a
@@ -326,17 +368,16 @@ def inter_search(src, src_planes, ref_planes, px, py, quality, *,
         src_planes[0], hmargin(ref_planes[0], DENSE_R, False), cmax,
         px, py, x0, width, height, mad_thr, hb, wb)
 
-    # ---- sub-pel refinement from per-MB windows
-    ywin = extract.extract_blocks(
-        extract.mb_windows(ref_planes[0], MB, DENSE_R + 1, prepad_x=halo),
-        mx + DENSE_R, my + DENSE_R, MB + 2)
-    cpad = DENSE_R // 2 + 1
-    uwin = extract.extract_blocks(
-        extract.mb_windows(ref_planes[1], MB // 2, cpad, prepad_x=halo // 2),
-        (mx >> 1) + cpad - 1, (my >> 1) + cpad - 1, MB // 2 + 2)
-    vwin = extract.extract_blocks(
-        extract.mb_windows(ref_planes[2], MB // 2, cpad, prepad_x=halo // 2),
-        (mx >> 1) + cpad - 1, (my >> 1) + cpad - 1, MB // 2 + 2)
+    # ---- sub-pel refinement from cached per-MB windows
+    wy, wu, wv = wins
+    ywin = extract.extract_blocks(wy.astype(jnp.int32),
+                                  mx + DENSE_R, my + DENSE_R, MB + 2)
+    uwin = extract.extract_blocks(wu.astype(jnp.int32),
+                                  (mx >> 1) + C_WPAD - 1, (my >> 1) + C_WPAD - 1,
+                                  MB // 2 + 2)
+    vwin = extract.extract_blocks(wv.astype(jnp.int32),
+                                  (mx >> 1) + C_WPAD - 1, (my >> 1) + C_WPAD - 1,
+                                  MB // 2 + 2)
     ywin, uwin, vwin = jax.lax.optimization_barrier((ywin, uwin, vwin))
 
     best_y = ywin[:, 1:17, 1:17]
