@@ -160,10 +160,17 @@ class TpuDecoder:
         cpu_engine.decode_slice(ctx, index)
         cpu_engine.deblock_recon(ctx, index)
         slot = ctx.ring_slot(index, 0)
+        rec = (jnp.asarray(ctx.recon[slot].y), jnp.asarray(ctx.recon[slot].u),
+               jnp.asarray(ctx.recon[slot].v))
+        from . import motion as motion_mod
+        nwy, nwu, nwv = motion_mod.pred_windows(rec)
         self._state = dict(
             self._state,
-            ring_y=self._state["ring_y"].at[slot].set(jnp.asarray(ctx.recon[slot].y)),
-            ring_u=self._state["ring_u"].at[slot].set(jnp.asarray(ctx.recon[slot].u)),
-            ring_v=self._state["ring_v"].at[slot].set(jnp.asarray(ctx.recon[slot].v)),
+            ring_y=self._state["ring_y"].at[slot].set(rec[0]),
+            ring_u=self._state["ring_u"].at[slot].set(rec[1]),
+            ring_v=self._state["ring_v"].at[slot].set(rec[2]),
+            win_y=self._state["win_y"].at[slot].set(nwy.astype(jnp.int16)),
+            win_u=self._state["win_u"].at[slot].set(nwu.astype(jnp.int16)),
+            win_v=self._state["win_v"].at[slot].set(nwv.astype(jnp.int16)),
         )
         return cpu_engine.recon_to_rgb(ctx, index, self.width, self.height)
