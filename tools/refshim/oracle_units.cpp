@@ -11,6 +11,7 @@
 #include "quantize.h"
 #include "transform.h"
 #include "analysis.h"
+#include "stream.h"
 
 #include <string.h>
 
@@ -216,6 +217,174 @@ void evxu_deblock(short *y, short *u, short *v, unsigned int width,
     }
     deblock_image_filter(bt, &target);
     delete[] bt;
+}
+
+/* ---- lossless backend wrappers (stream.h), buffer-level ------------- */
+
+static long long drain_bits(bit_stream *bs, unsigned char *out,
+                            unsigned long long cap) {
+    unsigned long long nbits = bs->query_occupancy();
+    if ((nbits + 7) / 8 > cap) return -1;
+    memset(out, 0, (size_t) ((nbits + 7) / 8));
+    for (unsigned long long i = 0; i < nbits; ++i) {
+        uint8 bit = 0;
+        bs->read_bit(&bit);
+        out[i >> 3] |= (bit & 1) << (i & 7);
+    }
+    return (long long) nbits;
+}
+
+/* Huffman precoder: values in [0,7]. Returns bit count or -1. */
+long long evxu_huffman_encode(const unsigned char *values, unsigned count,
+                              unsigned char *out, unsigned long long cap) {
+    bit_stream bs;
+    bs.resize_capacity(8 * (count + 16));
+    for (unsigned i = 0; i < count; ++i)
+        if (EVX_SUCCESS != stream_encode_huffman_value(values[i], &bs))
+            return -1;
+    return drain_bits(&bs, out, cap);
+}
+
+long long evxu_huffman_decode(const unsigned char *data,
+                              unsigned long long nbits, unsigned count,
+                              unsigned char *out) {
+    bit_stream bs;
+    bs.resize_capacity(((nbits + 7) / 8) * 8);
+    bs.assign((void *) data, (nbits + 7) / 8);
+    for (unsigned i = 0; i < count; ++i)
+        out[i] = (unsigned char) stream_decode_huffman_value(&bs, out + i);
+    return (long long) count;
+}
+
+/* Plain golomb value streams (no ABAC). signed=1 -> int16 values. */
+long long evxu_golomb_encode(const short *values, unsigned count, int is_signed,
+                             unsigned char *out, unsigned long long cap) {
+    bit_stream bs;
+    bs.resize_capacity(64 * (count + 16));
+    for (unsigned i = 0; i < count; ++i) {
+        evx_status s = is_signed
+            ? stream_encode_value((int16) values[i], &bs)
+            : stream_encode_value((uint16) values[i], &bs);
+        if (EVX_SUCCESS != s) return -1;
+    }
+    return drain_bits(&bs, out, cap);
+}
+
+long long evxu_golomb_decode(const unsigned char *data,
+                             unsigned long long nbits, unsigned count,
+                             int is_signed, short *out) {
+    bit_stream bs;
+    bs.resize_capacity(((nbits + 7) / 8) * 8);
+    bs.assign((void *) data, (nbits + 7) / 8);
+    for (unsigned i = 0; i < count; ++i) {
+        if (is_signed) {
+            int16 v = 0;
+            if (EVX_SUCCESS != stream_decode_value(&bs, &v)) return -1;
+            out[i] = v;
+        } else {
+            uint16 v = 0;
+            if (EVX_SUCCESS != stream_decode_value(&bs, &v)) return -1;
+            out[i] = (short) v;
+        }
+    }
+    return (long long) count;
+}
+
+/* Golomb -> ABAC value streams; one adaptive coder spans the buffer and is
+ * flushed at the end (the slice pattern). mode: 0 = int16 values,
+ * 1 = uint16 values, 2/3/4 = zigzag block coders (4x4/8x8/16x16, count =
+ * number of blocks, values = row-major blocks), 5 = RLE 8x8 blocks. */
+long long evxu_entropy_encode(const short *values, unsigned count, int mode,
+                              unsigned char *out, unsigned long long cap) {
+    bit_stream feed, output;
+    feed.resize_capacity(1 << 22);
+    output.resize_capacity(1 << 22);
+    entropy_coder coder;
+    evx_status s = EVX_SUCCESS;
+    switch (mode) {
+    case 0:
+        for (unsigned i = 0; i < count && s == EVX_SUCCESS; ++i)
+            s = entropy_stream_encode_value((int16) values[i], &feed, &coder,
+                                            &output);
+        break;
+    case 1:
+        for (unsigned i = 0; i < count && s == EVX_SUCCESS; ++i)
+            s = entropy_stream_encode_value((uint16) values[i], &feed, &coder,
+                                            &output);
+        break;
+    case 2:
+        for (unsigned i = 0; i < count && s == EVX_SUCCESS; ++i)
+            s = entropy_stream_encode_4x4((int16 *) values + 16 * i, &feed,
+                                          &coder, &output);
+        break;
+    case 3:
+        for (unsigned i = 0; i < count && s == EVX_SUCCESS; ++i)
+            s = entropy_stream_encode_8x8((int16 *) values + 64 * i, &feed,
+                                          &coder, &output);
+        break;
+    case 4:
+        for (unsigned i = 0; i < count && s == EVX_SUCCESS; ++i)
+            s = entropy_stream_encode_16x16((int16 *) values + 256 * i, &feed,
+                                            &coder, &output);
+        break;
+    case 5:
+        for (unsigned i = 0; i < count && s == EVX_SUCCESS; ++i)
+            s = entropy_rle_stream_encode_8x8((int16 *) values + 64 * i, &feed,
+                                              &coder, &output);
+        break;
+    default:
+        return -1;
+    }
+    if (s != EVX_SUCCESS) return -1;
+    coder.finish_encode(&output);
+    return drain_bits(&output, out, cap);
+}
+
+long long evxu_entropy_decode(const unsigned char *data,
+                              unsigned long long nbits, unsigned count,
+                              int mode, short *out) {
+    bit_stream input, feed;
+    input.resize_capacity(((nbits + 7) / 8) * 8);
+    input.assign((void *) data, (nbits + 7) / 8);
+    feed.resize_capacity(1 << 22);
+    entropy_coder coder;
+    coder.start_decode(&input);
+    evx_status s = EVX_SUCCESS;
+    switch (mode) {
+    case 0:
+        for (unsigned i = 0; i < count && s == EVX_SUCCESS; ++i)
+            s = entropy_stream_decode_value(&input, &coder, &feed,
+                                            (int16 *) out + i);
+        break;
+    case 1:
+        for (unsigned i = 0; i < count && s == EVX_SUCCESS; ++i)
+            s = entropy_stream_decode_value(&input, &coder, &feed,
+                                            (uint16 *) out + i);
+        break;
+    case 2:
+        for (unsigned i = 0; i < count && s == EVX_SUCCESS; ++i)
+            s = entropy_stream_decode_4x4(&input, &coder, &feed,
+                                          (int16 *) out + 16 * i);
+        break;
+    case 3:
+        for (unsigned i = 0; i < count && s == EVX_SUCCESS; ++i)
+            s = entropy_stream_decode_8x8(&input, &coder, &feed,
+                                          (int16 *) out + 64 * i);
+        break;
+    case 4:
+        for (unsigned i = 0; i < count && s == EVX_SUCCESS; ++i)
+            s = entropy_stream_decode_16x16(&input, &coder, &feed,
+                                            (int16 *) out + 256 * i);
+        break;
+    case 5:
+        for (unsigned i = 0; i < count && s == EVX_SUCCESS; ++i)
+            s = entropy_rle_stream_decode_8x8(&input, &coder, &feed,
+                                              (int16 *) out + 64 * i);
+        break;
+    default:
+        return -1;
+    }
+    return s == EVX_SUCCESS ? (long long) count : -1;
 }
 
 } // extern "C"

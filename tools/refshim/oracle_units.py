@@ -34,6 +34,20 @@ def _setup():
     L.evxu_intra_prediction.argtypes = [ctypes.c_ushort, u] + [i16] * 6 + [u, u, u, u, i32]
     L.evxu_inter_prediction.argtypes = [ctypes.c_ushort, u, ctypes.c_ubyte] + [i16] * 6 + [u, u, u, u, i32]
     L.evxu_deblock.argtypes = [i16, i16, i16, u, u, i32, u]
+    ll = ctypes.c_longlong
+    u64 = ctypes.c_ulonglong
+    L.evxu_huffman_encode.restype = ll
+    L.evxu_huffman_encode.argtypes = [u8, u, u8, u64]
+    L.evxu_huffman_decode.restype = ll
+    L.evxu_huffman_decode.argtypes = [u8, u64, u, u8]
+    L.evxu_golomb_encode.restype = ll
+    L.evxu_golomb_encode.argtypes = [i16, u, ctypes.c_int, u8, u64]
+    L.evxu_golomb_decode.restype = ll
+    L.evxu_golomb_decode.argtypes = [u8, u64, u, ctypes.c_int, i16]
+    L.evxu_entropy_encode.restype = ll
+    L.evxu_entropy_encode.argtypes = [i16, u, ctypes.c_int, u8, u64]
+    L.evxu_entropy_decode.restype = ll
+    L.evxu_entropy_decode.argtypes = [u8, u64, u, ctypes.c_int, i16]
     return L
 
 
@@ -169,3 +183,68 @@ def deblock(y, u, v, table):
     L().evxu_deblock(_i16p(y), _i16p(u), _i16p(v), y.shape[1], y.shape[0],
                      t.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), len(t))
     return y, u, v
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+
+
+def huffman_encode(values):
+    values = np.ascontiguousarray(values, np.uint8)
+    out = np.zeros(len(values) * 2 + 16, np.uint8)
+    bits = L().evxu_huffman_encode(_u8p(values), len(values), _u8p(out),
+                                   len(out))
+    assert bits >= 0
+    return out[:(bits + 7) // 8].tobytes(), int(bits)
+
+
+def huffman_decode(data, nbits, count):
+    buf = np.frombuffer(data, np.uint8).copy()
+    out = np.zeros(count, np.uint8)
+    L().evxu_huffman_decode(_u8p(buf), nbits, count, _u8p(out))
+    return out
+
+
+def golomb_encode(values, signed=True):
+    values = np.ascontiguousarray(values, np.int16)
+    out = np.zeros(len(values) * 6 + 16, np.uint8)
+    bits = L().evxu_golomb_encode(_i16p(values), len(values), int(signed),
+                                  _u8p(out), len(out))
+    assert bits >= 0
+    return out[:(bits + 7) // 8].tobytes(), int(bits)
+
+
+def golomb_decode(data, nbits, count, signed=True):
+    # pad: the reference peeks min(32, *byte* occupancy) bits and spins
+    # forever if the final code sits in a sub-byte tail (stream.cpp:177,
+    # golomb.cpp:100); trailing zero bytes keep its peek window fed without
+    # changing any decoded value.
+    buf = np.concatenate([np.frombuffer(data, np.uint8),
+                          np.zeros(8, np.uint8)])
+    out = np.zeros(count, np.int16)
+    r = L().evxu_golomb_decode(_u8p(buf), nbits + 64, count, int(signed),
+                               _i16p(out))
+    assert r >= 0
+    return out
+
+
+def entropy_encode(values, mode):
+    """mode: 0=i16 values, 1=u16 values, 2/3/4=zigzag 4x4/8x8/16x16 blocks,
+    5=RLE 8x8 blocks. For block modes `values` is (count, n*n) row-major."""
+    flat = np.ascontiguousarray(values, np.int16).reshape(-1)
+    per = {0: 1, 1: 1, 2: 16, 3: 64, 4: 256, 5: 64}[mode]
+    count = len(flat) // per
+    out = np.zeros(len(flat) * 8 + 4096, np.uint8)
+    bits = L().evxu_entropy_encode(_i16p(flat), count, mode, _u8p(out),
+                                   len(out))
+    assert bits >= 0
+    return out[:(bits + 7) // 8].tobytes(), int(bits)
+
+
+def entropy_decode(data, nbits, count, mode):
+    per = {0: 1, 1: 1, 2: 16, 3: 64, 4: 256, 5: 64}[mode]
+    buf = np.frombuffer(data, np.uint8).copy()
+    out = np.zeros(count * per, np.int16)
+    r = L().evxu_entropy_decode(_u8p(buf), nbits, count, mode, _i16p(out))
+    assert r >= 0
+    return out
