@@ -33,7 +33,7 @@ def test_tpu_inter_search_matches_cpuref():
         px = jnp.asarray((idx % wb) * 16, jnp.int32)
         py = jnp.asarray((idx // wb) * 16, jnp.int32)
         ref = tuple(jnp.asarray(p, jnp.int32) for p in ref_p)
-        got = tpu_motion.inter_search(src, ref, px, py, quality)
+        got = tpu_motion.inter_search_exact(src, ref, px, py, quality)
         got = {k: np.asarray(val) for k, val in got.items()}
 
         pred = cpu_motion.Planes(*ref_p)
