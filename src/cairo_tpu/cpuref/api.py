@@ -12,12 +12,15 @@ import struct
 
 import numpy as np
 
-from .. import tables
+from .. import metrics, tables
 from ..blocktypes import FRAME_INTER, FRAME_INTRA, is_copy
 from ..entropy.bitio import BitReader, BitWriter
 from ..entropy.slicecodec import decode_slice, encode_slice
 from ..xmath import clip_range
 from . import engine
+
+_BT_FIELDS = ("block_type", "prediction_target", "motion_x", "motion_y",
+              "sp_pred", "sp_amount", "sp_index", "q_index", "variance")
 
 _HEADER_FMT = "<4sHBxHHH"  # magic, size, ref_count, pad, version, w, h
 _FRAME_FMT = "<IIH"        # type, index, quality
@@ -49,6 +52,7 @@ class Evx1Encoder:
         self.quality = tables.DEFAULT_QUALITY
         self.width = 0
         self.height = 0
+        self.last_stats = None
 
     def set_quality(self, quality: int):
         self.quality = int(clip_range(quality, 1, 31))
@@ -77,12 +81,61 @@ class Evx1Encoder:
                      out)
         engine.deblock_recon(ctx, self.frame_index)
 
+        chunk = out.getvalue()
+        self.last_stats = metrics.frame_stats(
+            self.frame_index, self.frame_type, self.quality, len(chunk),
+            ctx.block_table.block_type, ctx.block_table.q_index)
+
         self.frame_type = FRAME_INTER
         if tables.PERIODIC_INTRA_RATE and \
                 (self.frame_index + 1) % tables.PERIODIC_INTRA_RATE == 0:
             self.insert_intra()
         self.frame_index += 1
-        return out.getvalue()
+        return chunk
+
+    # -- checkpoint / resume (cairo_tpu.checkpoint) ------------------------
+
+    def _ctx_arrays(self):
+        ctx = self._ctx
+        arrays = {}
+        for s, rec in enumerate(ctx.recon):
+            arrays.update({f"recon{s}_y": rec.y, f"recon{s}_u": rec.u,
+                           f"recon{s}_v": rec.v})
+        for name, planes in (("input", ctx.input), ("output", ctx.output)):
+            arrays.update({f"{name}_y": planes.y, f"{name}_u": planes.u,
+                           f"{name}_v": planes.v})
+        arrays.update({f"bt_{k}": getattr(ctx.block_table, k)
+                       for k in _BT_FIELDS})
+        return arrays
+
+    def _ctx_restore(self, arrays):
+        ctx = self._ctx
+        for s, rec in enumerate(ctx.recon):
+            rec.y[:] = arrays[f"recon{s}_y"]
+            rec.u[:] = arrays[f"recon{s}_u"]
+            rec.v[:] = arrays[f"recon{s}_v"]
+        for name, planes in (("input", ctx.input), ("output", ctx.output)):
+            planes.y[:] = arrays[f"{name}_y"]
+            planes.u[:] = arrays[f"{name}_u"]
+            planes.v[:] = arrays[f"{name}_v"]
+        for k in _BT_FIELDS:
+            getattr(ctx.block_table, k)[:] = arrays[f"bt_{k}"]
+
+    def state_dict(self):
+        meta = dict(kind="cpuref_encoder", width=self.width,
+                    height=self.height, frame_index=self.frame_index,
+                    frame_type=self.frame_type, quality=self.quality,
+                    init=self._ctx is not None)
+        return meta, (self._ctx_arrays() if self._ctx is not None else {})
+
+    def load_state_dict(self, meta, arrays):
+        self.frame_index = meta["frame_index"]
+        self.frame_type = meta["frame_type"]
+        self.quality = meta["quality"]
+        if meta["init"]:
+            self.width, self.height = meta["width"], meta["height"]
+            self._ctx = engine.CodecContext(self.width, self.height)
+            self._ctx_restore(arrays)
 
     # -- debug/peek views (evx1enc.cpp:170-305) ---------------------------
 
@@ -147,3 +200,19 @@ class Evx1Decoder:
         rgb = engine.recon_to_rgb(ctx, index, self.width, self.height)
         self.frame_index += 1
         return rgb
+
+    # -- checkpoint / resume (cairo_tpu.checkpoint) ------------------------
+
+    def state_dict(self):
+        meta = dict(kind="cpuref_decoder", width=self.width,
+                    height=self.height, frame_index=self.frame_index,
+                    init=self._ctx is not None)
+        arrays = Evx1Encoder._ctx_arrays(self) if self._ctx is not None else {}
+        return meta, arrays
+
+    def load_state_dict(self, meta, arrays):
+        self.frame_index = meta["frame_index"]
+        if meta["init"]:
+            self.width, self.height = meta["width"], meta["height"]
+            self._ctx = engine.CodecContext(self.width, self.height)
+            Evx1Encoder._ctx_restore(self, arrays)

@@ -9,15 +9,18 @@ the sequential cpuref reconstruction for that frame.
 from __future__ import annotations
 
 import struct
+import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-from .. import native, tables
-from ..blocktypes import (BlockTable, FRAME_INTER, FRAME_INTRA, INTRA_BIT,
-                          MOTION_BIT)
+from .. import metrics, native, tables
+from ..blocktypes import (BlockTable, COPY_BIT, FRAME_INTER, FRAME_INTRA,
+                          INTRA_BIT, MOTION_BIT)
 from ..cpuref.api import (FRAME_DESC_SIZE, HEADER_SIZE, _FRAME_FMT,
                           pack_header, parse_header)
+from ..cpuref import imaging as cpu_imaging
 from ..xmath import clip_range
 from . import engine
 
@@ -28,13 +31,44 @@ def _align(v):
     return (v + MB - 1) // MB * MB
 
 
+def _ring_to_arrays(state):
+    return {k: np.asarray(jax.device_get(state[k]))
+            for k in ("ring_y", "ring_u", "ring_v",
+                      "coef_y", "coef_u", "coef_v")}
+
+
+def _state_from_arrays(arrays):
+    """Rebuilds the device pytree; the per-slot prediction windows are
+    derived state and are recomputed from the ring."""
+    from . import motion as motion_mod
+
+    state = {k: jnp.asarray(arrays[k]) for k in
+             ("ring_y", "ring_u", "ring_v", "coef_y", "coef_u", "coef_v")}
+    wys, wus, wvs = [], [], []
+    for s in range(tables.REFERENCE_FRAME_COUNT):
+        wy, wu, wv = motion_mod.pred_windows(
+            (state["ring_y"][s].astype(jnp.int32),
+             state["ring_u"][s].astype(jnp.int32),
+             state["ring_v"][s].astype(jnp.int32)))
+        wys.append(wy.astype(jnp.int16))
+        wus.append(wu.astype(jnp.int16))
+        wvs.append(wv.astype(jnp.int16))
+    state["win_y"] = jnp.stack(wys)
+    state["win_u"] = jnp.stack(wus)
+    state["win_v"] = jnp.stack(wvs)
+    return state
+
+
 class TpuEncoder:
     def __init__(self):
         self._state = None
+        self._last_out = None
+        self._last_rgb = None
         self.frame_type = FRAME_INTRA
         self.frame_index = 0
         self.quality = tables.DEFAULT_QUALITY
         self.width = self.height = 0
+        self.last_stats = None
 
     def set_quality(self, quality: int):
         self.quality = int(clip_range(quality, 1, 31))
@@ -42,7 +76,7 @@ class TpuEncoder:
     def insert_intra(self):
         self.frame_type = FRAME_INTRA
 
-    def encode(self, rgb: np.ndarray) -> bytes:
+    def _begin_frame(self, rgb):
         height, width = rgb.shape[:2]
         header = b""
         if self._state is None:
@@ -52,15 +86,36 @@ class TpuEncoder:
             header = pack_header(width, height)
         if (width, height) != (self.width, self.height):
             raise ValueError("frame dimensions changed mid-stream")
+        return header
 
+    def _dispatch(self, rgb):
+        """Launches one frame's device work; returns everything the host
+        entropy stage needs later. JAX dispatch is async, so the caller may
+        overlap host entropy coding of a previous frame with this one."""
+        header = self._begin_frame(rgb)
         frame_desc = struct.pack(_FRAME_FMT, self.frame_type,
                                  self.frame_index, self.quality)
+        with jax.profiler.TraceAnnotation("cairo_tpu.encode_step"):
+            self._state, out = engine.encode_step(
+                rgb, self._state, self.frame_index, self.quality,
+                width=self.width, height=self.height, aligned_w=self._aw,
+                aligned_h=self._ah, is_inter=self.frame_type == FRAME_INTER)
+        pending = dict(header=header, frame_desc=frame_desc, out=out,
+                       frame_index=self.frame_index,
+                       frame_type=self.frame_type, quality=self.quality,
+                       t_dispatch=time.perf_counter())
+        self._last_rgb = rgb
+        self.frame_type = FRAME_INTER
+        if tables.PERIODIC_INTRA_RATE and \
+                (self.frame_index + 1) % tables.PERIODIC_INTRA_RATE == 0:
+            self.insert_intra()
+        self.frame_index += 1
+        return pending
 
-        self._state, out = engine.encode_step(
-            rgb, self._state, self.frame_index, self.quality,
-            width=width, height=height, aligned_w=self._aw,
-            aligned_h=self._ah, is_inter=self.frame_type == FRAME_INTER)
-        out = jax.device_get(out)
+    def _finish(self, pending) -> bytes:
+        out = jax.device_get(pending["out"])
+        t_dev = time.perf_counter()
+        self._last_out = out
 
         bt = BlockTable(
             block_type=out["block_type"],
@@ -69,15 +124,87 @@ class TpuEncoder:
             sp_pred=out["sp_pred"], sp_amount=out["sp_amount"],
             sp_index=out["sp_index"], q_index=out["q_index"],
             variance=np.zeros_like(out["motion_x"]))
-        slice_bytes, _ = native.encode_slice(
-            bt, out["coef_y"], out["coef_u"], out["coef_v"])
+        with jax.profiler.TraceAnnotation("cairo_tpu.entropy_encode"):
+            slice_bytes, _ = native.encode_slice(
+                bt, out["coef_y"], out["coef_u"], out["coef_v"])
+        t_ent = time.perf_counter()
 
-        self.frame_type = FRAME_INTER
-        if tables.PERIODIC_INTRA_RATE and \
-                (self.frame_index + 1) % tables.PERIODIC_INTRA_RATE == 0:
-            self.insert_intra()
-        self.frame_index += 1
-        return header + frame_desc + slice_bytes
+        chunk = pending["header"] + pending["frame_desc"] + slice_bytes
+        self.last_stats = metrics.frame_stats(
+            pending["frame_index"], pending["frame_type"],
+            pending["quality"], len(chunk), out["block_type"],
+            out["q_index"],
+            stage_ms={"device": (t_dev - pending["t_dispatch"]) * 1e3,
+                      "entropy": (t_ent - t_dev) * 1e3})
+        return chunk
+
+    def encode(self, rgb: np.ndarray) -> bytes:
+        return self._finish(self._dispatch(rgb))
+
+    def encode_many(self, frames):
+        """Pipelined encode: device computes frame N+1 while the host
+        entropy-codes frame N. Yields one byte chunk per input frame."""
+        pending = None
+        for rgb in frames:
+            nxt = self._dispatch(rgb)
+            if pending is not None:
+                yield self._finish(pending)
+            pending = nxt
+        if pending is not None:
+            yield self._finish(pending)
+
+    # -- debug/peek views (evx1enc.cpp:170-305 parity) ---------------------
+
+    def peek_source(self) -> np.ndarray:
+        """Input frame round-tripped through YUV 4:2:0."""
+        y, u, v = cpu_imaging.rgb_to_yuv420(self._last_rgb)
+        return cpu_imaging.yuv420_to_rgb(y, u, v, self.width, self.height)
+
+    def peek_destination(self) -> np.ndarray:
+        slot = (self.frame_index - 1) % tables.REFERENCE_FRAME_COUNT
+        y = np.asarray(jax.device_get(self._state["ring_y"][slot]))
+        u = np.asarray(jax.device_get(self._state["ring_u"][slot]))
+        v = np.asarray(jax.device_get(self._state["ring_v"][slot]))
+        return cpu_imaging.yuv420_to_rgb(y, u, v, self.width, self.height)
+
+    def _block_map(self, colors: np.ndarray) -> np.ndarray:
+        wb = self._aw // MB
+        hb = self._ah // MB
+        img = colors.reshape(hb, wb, 3).astype(np.uint8)
+        img = img.repeat(MB, axis=0).repeat(MB, axis=1)
+        return img[:self.height, :self.width]
+
+    def peek_block_table(self) -> np.ndarray:
+        bt = self._last_out["block_type"].astype(np.int32)
+        colors = np.stack([255 * (bt & 1), 255 * ((bt >> 1) & 1),
+                           255 * ((bt >> 2) & 1)], axis=-1)
+        return self._block_map(colors)
+
+    def peek_quant_table(self) -> np.ndarray:
+        bt = self._last_out["block_type"].astype(np.int32)
+        qp = self._last_out["q_index"].astype(np.int32)
+        level = (255 - 15 * qp).astype(np.uint8)
+        colors = np.stack([level, level, level], axis=-1)
+        colors[(bt & COPY_BIT) != 0] = (255, 0, 0)
+        return self._block_map(colors)
+
+    # -- checkpoint / resume (cairo_tpu.checkpoint) ------------------------
+
+    def state_dict(self):
+        meta = dict(kind="tpu_encoder", width=self.width, height=self.height,
+                    frame_index=self.frame_index, frame_type=self.frame_type,
+                    quality=self.quality, init=self._state is not None)
+        arrays = _ring_to_arrays(self._state) if self._state is not None else {}
+        return meta, arrays
+
+    def load_state_dict(self, meta, arrays):
+        self.frame_index = meta["frame_index"]
+        self.frame_type = meta["frame_type"]
+        self.quality = meta["quality"]
+        if meta["init"]:
+            self.width, self.height = meta["width"], meta["height"]
+            self._aw, self._ah = _align(self.width), _align(self.height)
+            self._state = _state_from_arrays(arrays)
 
 
 class TpuDecoder:
@@ -136,6 +263,37 @@ class TpuDecoder:
             rgb = np.asarray(jax.device_get(rgb))
         self.frame_index += 1
         return rgb
+
+    # -- checkpoint / resume (cairo_tpu.checkpoint) ------------------------
+
+    def state_dict(self):
+        meta = dict(kind="tpu_decoder", width=self.width, height=self.height,
+                    frame_index=self.frame_index,
+                    init=self._state is not None)
+        arrays = {}
+        if self._state is not None:
+            arrays = _ring_to_arrays(self._state)
+            arrays.update(
+                host_coef_y=self._coef_y, host_coef_u=self._coef_u,
+                host_coef_v=self._coef_v,
+                **{f"bt_{k}": getattr(self._bt, k)
+                   for k in ("block_type", "prediction_target", "motion_x",
+                             "motion_y", "sp_pred", "sp_amount", "sp_index",
+                             "q_index", "variance")})
+        return meta, arrays
+
+    def load_state_dict(self, meta, arrays):
+        self.frame_index = meta["frame_index"]
+        if meta["init"]:
+            self._init(meta["width"], meta["height"])
+            self._state = _state_from_arrays(arrays)
+            self._coef_y[:] = arrays["host_coef_y"]
+            self._coef_u[:] = arrays["host_coef_u"]
+            self._coef_v[:] = arrays["host_coef_v"]
+            for k in ("block_type", "prediction_target", "motion_x",
+                      "motion_y", "sp_pred", "sp_amount", "sp_index",
+                      "q_index", "variance"):
+                getattr(self._bt, k)[:] = arrays[f"bt_{k}"]
 
     def _decode_sequential(self, index: int) -> np.ndarray:
         """cpuref fallback for frames with intra-motion blocks: reconstruct

@@ -1,0 +1,136 @@
+"""Checkpoint/resume, peek views, metrics, and pipelined encode.
+
+Checkpoint contract: a session restored from a mid-stream checkpoint must
+continue emitting the byte-identical stream the uninterrupted session would
+have produced (the ring + carried planes + block table are the complete
+codec state, common.h:104-131 / FORMAT.md §4).
+"""
+
+import numpy as np
+import pytest
+
+from cairo_tpu import checkpoint, metrics
+from cairo_tpu.cpuref.api import Evx1Decoder, Evx1Encoder
+from util_video import synth_frames
+
+W, H = 64, 48
+
+
+def _frames(n=7):
+    return synth_frames(W, H, n, seed=11)
+
+
+def test_cpuref_encoder_checkpoint_resume():
+    frames = _frames()
+    enc = Evx1Encoder()
+    enc.set_quality(12)
+    chunks = [enc.encode(f) for f in frames[:4]]
+    blob = checkpoint.dump_state(enc)
+    rest = [enc.encode(f) for f in frames[4:]]
+
+    enc2 = checkpoint.load_state(Evx1Encoder(), blob)
+    rest2 = [enc2.encode(f) for f in frames[4:]]
+    assert [r.hex() for r in rest2] == [r.hex() for r in rest]
+
+    # and the full resumed stream decodes
+    dec = Evx1Decoder()
+    for c in chunks + rest2:
+        out = dec.decode(c)
+    assert out.shape == (H, W, 3)
+
+
+def test_cpuref_decoder_checkpoint_resume():
+    frames = _frames()
+    enc = Evx1Encoder()
+    chunks = [enc.encode(f) for f in frames]
+
+    dec = Evx1Decoder()
+    for c in chunks[:4]:
+        dec.decode(c)
+    blob = checkpoint.dump_state(dec)
+    want = [dec.decode(c) for c in chunks[4:]]
+
+    dec2 = checkpoint.load_state(Evx1Decoder(), blob)
+    got = [dec2.decode(c) for c in chunks[4:]]
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_tpu_encoder_checkpoint_resume():
+    from cairo_tpu.tpu.api import TpuDecoder, TpuEncoder
+
+    frames = _frames()
+    enc = TpuEncoder()
+    enc.set_quality(10)
+    chunks = [enc.encode(f) for f in frames[:4]]
+    blob = checkpoint.dump_state(enc)
+    rest = [enc.encode(f) for f in frames[4:]]
+
+    enc2 = checkpoint.load_state(TpuEncoder(), blob)
+    rest2 = [enc2.encode(f) for f in frames[4:]]
+    assert [r.hex() for r in rest2] == [r.hex() for r in rest]
+
+    # decoder checkpoint: restore mid-stream, outputs must match
+    dec = TpuDecoder()
+    for c in chunks:
+        dec.decode(c)
+    dblob = checkpoint.dump_state(dec)
+    want = [dec.decode(c) for c in rest]
+    dec2 = checkpoint.load_state(TpuDecoder(), dblob)
+    got = [dec2.decode(c) for c in rest]
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_tpu_encode_many_pipelined_matches_serial():
+    from cairo_tpu.tpu.api import TpuEncoder
+
+    frames = _frames(6)
+    enc_a = TpuEncoder()
+    serial = [enc_a.encode(f) for f in frames]
+    enc_b = TpuEncoder()
+    piped = list(enc_b.encode_many(frames))
+    assert [c.hex() for c in piped] == [c.hex() for c in serial]
+
+
+def test_peek_views_and_stats():
+    from cairo_tpu.tpu.api import TpuEncoder
+
+    frames = _frames(3)
+    cpu = Evx1Encoder()
+    tpu = TpuEncoder()
+    for f in frames:
+        cpu.encode(f)
+        tpu.encode(f)
+
+    for enc in (cpu, tpu):
+        if hasattr(enc, "peek_source"):
+            assert enc.peek_source().shape == (H, W, 3)
+        assert enc.peek_destination().shape == (H, W, 3)
+        bt_img = enc.peek_block_table()
+        qt_img = enc.peek_quant_table()
+        assert bt_img.shape == qt_img.shape == (H, W, 3)
+        # block maps are 16x16-constant
+        assert np.all(bt_img[:16, :16] == bt_img[0, 0])
+
+        stats = enc.last_stats
+        assert stats["frame_index"] == 2 and stats["frame_type"] == "P"
+        assert stats["bytes"] > 0 and stats["blocks"] == (W // 16) * (H // 16)
+        assert sum(stats["block_types"].values()) == stats["blocks"]
+        assert 0.0 <= stats["copy_ratio"] <= 1.0
+
+    # peek_destination equals the decoder's view of the same stream
+    # (encoder reconstruction == decoder reconstruction by construction)
+    dec = Evx1Decoder()
+    enc2 = Evx1Encoder()
+    for f in frames:
+        out = dec.decode(enc2.encode(f))
+    np.testing.assert_array_equal(enc2.peek_destination(), out)
+
+
+def test_psnr_helper():
+    a = np.zeros((8, 8), np.uint8)
+    assert metrics.psnr(a, a) == float("inf")
+    b = a.copy()
+    b[0, 0] = 255
+    assert 0 < metrics.psnr(a, b) < 40
