@@ -174,6 +174,33 @@ class Evx1Encoder:
             img[j * 16:(j + 1) * 16, i * 16:(i + 1) * 16] = color
         return img[:self.height, :self.width]
 
+    def peek_block_variance(self) -> np.ndarray:
+        """Grayscale per-MB variance; copy blocks red (evx1enc.cpp:248-271)."""
+        ctx = self._ctx
+        bt = ctx.block_table
+        img = np.zeros((self.height, self.width, 3), dtype=np.uint8)
+        for idx in range(ctx.n_blocks):
+            j, i = divmod(idx, ctx.width_in_blocks)
+            if is_copy(bt.block_type[idx]):
+                color = (255, 0, 0)
+            else:
+                level = np.uint8(min(max(int(bt.variance[idx]) // 30, 0), 255))
+                color = (level, level, level)
+            img[j * 16:(j + 1) * 16, i * 16:(i + 1) * 16] = color
+        return img[:self.height, :self.width]
+
+    def peek_spmp_table(self) -> np.ndarray:
+        """Sub-pel map: blue=half, green=quarter (evx1enc.cpp:274-299)."""
+        ctx = self._ctx
+        bt = ctx.block_table
+        img = np.zeros((self.height, self.width, 3), dtype=np.uint8)
+        for idx in range(ctx.n_blocks):
+            j, i = divmod(idx, ctx.width_in_blocks)
+            if bt.sp_pred[idx]:
+                color = (0, 255, 0) if bt.sp_amount[idx] else (0, 0, 255)
+                img[j * 16:(j + 1) * 16, i * 16:(i + 1) * 16] = color
+        return img[:self.height, :self.width]
+
 
 class Evx1Decoder:
     def __init__(self):

@@ -123,7 +123,7 @@ class TpuEncoder:
             motion_x=out["motion_x"], motion_y=out["motion_y"],
             sp_pred=out["sp_pred"], sp_amount=out["sp_amount"],
             sp_index=out["sp_index"], q_index=out["q_index"],
-            variance=np.zeros_like(out["motion_x"]))
+            variance=out["variance"])
         with jax.profiler.TraceAnnotation("cairo_tpu.entropy_encode"):
             slice_bytes, _ = native.encode_slice(
                 bt, out["coef_y"], out["coef_u"], out["coef_v"])
@@ -186,6 +186,24 @@ class TpuEncoder:
         level = (255 - 15 * qp).astype(np.uint8)
         colors = np.stack([level, level, level], axis=-1)
         colors[(bt & COPY_BIT) != 0] = (255, 0, 0)
+        return self._block_map(colors)
+
+    def peek_block_variance(self) -> np.ndarray:
+        """Grayscale per-MB variance map; copy blocks red (evx1enc.cpp:248)."""
+        bt = self._last_out["block_type"].astype(np.int32)
+        var = self._last_out["variance"].astype(np.int32)
+        level = np.clip(var // 30, 0, 255).astype(np.uint8)
+        colors = np.stack([level, level, level], axis=-1)
+        colors[(bt & COPY_BIT) != 0] = (255, 0, 0)
+        return self._block_map(colors)
+
+    def peek_spmp_table(self) -> np.ndarray:
+        """Sub-pel motion map: blue=half, green=quarter (evx1enc.cpp:274)."""
+        sp_pred = self._last_out["sp_pred"].astype(bool)
+        sp_amount = self._last_out["sp_amount"].astype(bool)
+        colors = np.zeros(sp_pred.shape + (3,), np.int32)
+        colors[sp_pred & sp_amount] = (0, 255, 0)
+        colors[sp_pred & ~sp_amount] = (0, 0, 255)
         return self._block_map(colors)
 
     # -- checkpoint / resume (cairo_tpu.checkpoint) ------------------------

@@ -176,6 +176,7 @@ def encode_step(rgb, state, frame_index, quality, *, width, height,
     tv = ops.fdct8(res[2])
 
     # --- adaptive QP + quantization
+    variance = ops.block_variance2(ty)  # XLA CSEs with adaptive_qp's copy
     qp = ops.adaptive_qp(quality, ty)
     qp4 = jnp.repeat(qp, 4)
     quads = ops.mb_quads(ty).reshape(-1, 8, 8)
@@ -260,6 +261,7 @@ def encode_step(rgb, state, frame_index, quality, *, width, height,
         sp_pred=best["sp_pred"], sp_amount=best["sp_amount"],
         sp_index=best["sp_index"].astype(jnp.uint8),
         q_index=jnp.where(copy_mb, 0, qp).astype(jnp.uint8),
+        variance=ops.wrap16(variance).astype(jnp.int16),
         coef_y=coef_y, coef_u=coef_u, coef_v=coef_v,
     )
     return new_state, outputs

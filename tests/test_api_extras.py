@@ -109,9 +109,20 @@ def test_peek_views_and_stats():
         assert enc.peek_destination().shape == (H, W, 3)
         bt_img = enc.peek_block_table()
         qt_img = enc.peek_quant_table()
+        var_img = enc.peek_block_variance()
+        sp_img = enc.peek_spmp_table()
         assert bt_img.shape == qt_img.shape == (H, W, 3)
+        assert var_img.shape == sp_img.shape == (H, W, 3)
         # block maps are 16x16-constant
         assert np.all(bt_img[:16, :16] == bt_img[0, 0])
+        # variance map: copy blocks red, others grayscale (evx1enc.cpp:248)
+        red = np.all(var_img == (255, 0, 0), axis=-1)
+        gray = (var_img[..., 0] == var_img[..., 1]) & \
+               (var_img[..., 1] == var_img[..., 2])
+        assert np.all(red | gray)
+        # sub-pel map colors are only black/blue/green (evx1enc.cpp:274)
+        palette = {(0, 0, 0), (0, 0, 255), (0, 255, 0)}
+        assert {tuple(c) for c in sp_img.reshape(-1, 3)} <= palette
 
         stats = enc.last_stats
         assert stats["frame_index"] == 2 and stats["frame_type"] == "P"
