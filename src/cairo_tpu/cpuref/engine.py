@@ -197,8 +197,14 @@ def _store_desc(bt: BlockTable, idx: int, desc: dict):
     bt.sp_pred[idx] = desc["sp_pred"]
     bt.sp_amount[idx] = desc["sp_amount"]
     bt.sp_index[idx] = desc["sp_index"]
-    bt.q_index[idx] = desc.get("q_index", 0)
-    bt.variance[idx] = desc.get("variance", 0)
+    # copy blocks skip encode_block, so q_index/variance keep the table's
+    # previous values — the reference's clear_block_desc zeroes only the
+    # leading bytes (common.cpp:67-73) and every consumer gates on copy
+    # status, so the stale fields are observable only through peek
+    if "q_index" in desc:
+        bt.q_index[idx] = desc["q_index"]
+    if "variance" in desc:
+        bt.variance[idx] = desc["variance"]
 
 
 def encode_slice(ctx: CodecContext, frame_type: int, frame_index: int,

@@ -64,6 +64,8 @@ class TpuEncoder:
         self._state = None
         self._last_out = None
         self._last_rgb = None
+        self._stale_q = None
+        self._stale_var = None
         self.frame_type = FRAME_INTRA
         self.frame_index = 0
         self.quality = tables.DEFAULT_QUALITY
@@ -115,6 +117,15 @@ class TpuEncoder:
     def _finish(self, pending) -> bytes:
         out = jax.device_get(pending["out"])
         t_dev = time.perf_counter()
+        # copy blocks keep the table's previous q_index/variance (the
+        # reference's clear_block_desc quirk, common.cpp:67-73); peek-only —
+        # neither field is serialized for copy blocks
+        copy = (out["block_type"].astype(np.int32) & COPY_BIT) != 0
+        if self._stale_q is not None:
+            out["q_index"] = np.where(copy, self._stale_q, out["q_index"])
+            out["variance"] = np.where(copy, self._stale_var, out["variance"])
+        self._stale_q = out["q_index"]
+        self._stale_var = out["variance"]
         self._last_out = out
 
         bt = BlockTable(

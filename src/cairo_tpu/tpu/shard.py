@@ -149,6 +149,7 @@ def tile_encode_step(rgb_tile, state, frame_index, quality, *, tile_w,
     tu = ops.fdct8(res[1])
     tv = ops.fdct8(res[2])
 
+    variance = ops.block_variance2(ty)  # XLA CSEs with adaptive_qp's copy
     qp = ops.adaptive_qp(quality, ty)
     qp4 = jnp.repeat(qp, 4)
     quads = ops.mb_quads(ty).reshape(-1, 8, 8)
@@ -219,6 +220,7 @@ def tile_encode_step(rgb_tile, state, frame_index, quality, *, tile_w,
         sp_pred=best["sp_pred"], sp_amount=best["sp_amount"],
         sp_index=best["sp_index"].astype(jnp.uint8),
         q_index=jnp.where(copy_mb, 0, qp).astype(jnp.uint8),
+        variance=ops.wrap16(variance).astype(jnp.int16),
         coef_y=coef_y, coef_u=coef_u, coef_v=coef_v,
         recon_y=rec_y.astype(jnp.int16),
     )

@@ -139,6 +139,38 @@ def test_peek_views_and_stats():
     np.testing.assert_array_equal(enc2.peek_destination(), out)
 
 
+def test_copy_blocks_keep_stale_table_fields():
+    """Copy blocks must carry the table's previous q_index/variance (the
+    reference's clear_block_desc quirk, common.cpp:67-73) in both backends."""
+    from cairo_tpu.blocktypes import COPY_BIT
+    from cairo_tpu.tpu.api import TpuEncoder
+
+    base = np.full((H, W, 3), 90, np.uint8)  # flat -> copy-grade matches
+    base[16:32, 16:48] = 170
+    frames = [base, base.copy(), base.copy()]
+    for enc in (Evx1Encoder(), TpuEncoder()):
+        tables_seen = []
+        for f in frames:
+            enc.encode(f)
+            if hasattr(enc, "_last_out"):
+                out = enc._last_out
+                bt_type = out["block_type"].astype(np.int32)
+                q = out["q_index"].copy()
+                var = out["variance"].copy()
+            else:
+                bt = enc._ctx.block_table
+                bt_type = bt.block_type.astype(np.int32)
+                q = bt.q_index.copy()
+                var = bt.variance.copy()
+            tables_seen.append((bt_type, q, var))
+        bt_type, q, var = tables_seen[-1]
+        copy = (bt_type & COPY_BIT) != 0
+        assert copy.any(), "static frames should produce copy blocks"
+        _, prev_q, prev_var = tables_seen[-2]
+        np.testing.assert_array_equal(q[copy], prev_q[copy])
+        np.testing.assert_array_equal(var[copy], prev_var[copy])
+
+
 def test_psnr_helper():
     a = np.zeros((8, 8), np.uint8)
     assert metrics.psnr(a, a) == float("inf")
