@@ -56,6 +56,7 @@ def test_cpuref_decoder_checkpoint_resume():
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_tpu_encoder_checkpoint_resume():
     from cairo_tpu.tpu.api import TpuDecoder, TpuEncoder
 
@@ -103,6 +104,10 @@ def test_peek_views_and_stats():
         cpu.encode(f)
         tpu.encode(f)
 
+    # NOTE: the two backends' peek images are NOT pixel-identical in general:
+    # the fast-mode encoder (FORMAT.md §7) may legally classify a block
+    # INTER_COPY where the exact engine picks INTRA_MOTION_COPY (etc.), so
+    # only per-backend invariants are asserted below.
     for enc in (cpu, tpu):
         if hasattr(enc, "peek_source"):
             assert enc.peek_source().shape == (H, W, 3)

@@ -43,6 +43,7 @@ def test_fast_stream_is_conformant(quality):
             f"quality too low frame {t}"
 
 
+@pytest.mark.slow
 def test_fast_stream_nonaligned_dims():
     w, h = 72, 40
     frames = synth_frames(w, h, 3)

@@ -19,6 +19,10 @@ def _planes(w, h, amplitude=200):
     return y, u, v
 
 
+import pytest
+
+
+@pytest.mark.slow
 def test_tpu_inter_search_matches_cpuref():
     w, h = 96, 64
     src_p = _planes(w, h)
