@@ -20,7 +20,7 @@ import numpy as np
 
 from .. import tables
 from ..blocktypes import sp_dir_to_index
-from . import extract, ops
+from . import backend, extract, ops
 
 MB = tables.MACROBLOCK_SIZE
 SAD_THRESHOLD = tables.MOTION_SAD_THRESHOLD
@@ -359,14 +359,23 @@ def inter_search(src, src_planes, ref_planes, wins, px, py, quality, *,
             return plane[:, h - radius:plane.shape[1] - (h - radius)]
         return jnp.pad(plane, ((0, 0), (radius - h, radius - h)))
 
-    cmax = _chroma_max_maps(src_planes[1], src_planes[2],
-                            hmargin(ref_planes[1], cr, True),
-                            hmargin(ref_planes[2], cr, True), cr)
     hb = height // MB
     wb = src_planes[0].shape[1] // MB
-    mx, my, best_sad, best_mad, frozen = _dense_select(
-        src_planes[0], hmargin(ref_planes[0], DENSE_R, False), cmax,
-        px, py, x0, width, height, mad_thr, hb, wb)
+    if backend.use_pallas():
+        from . import pallas_motion
+        cmax = pallas_motion.chroma_max_maps(
+            src_planes[1], src_planes[2],
+            hmargin(ref_planes[1], cr, True), hmargin(ref_planes[2], cr, True))
+        mx, my, best_sad, best_mad, frozen = pallas_motion.dense_select(
+            src_planes[0], hmargin(ref_planes[0], DENSE_R, False), cmax,
+            x0, width, height, mad_thr)
+    else:
+        cmax = _chroma_max_maps(src_planes[1], src_planes[2],
+                                hmargin(ref_planes[1], cr, True),
+                                hmargin(ref_planes[2], cr, True), cr)
+        mx, my, best_sad, best_mad, frozen = _dense_select(
+            src_planes[0], hmargin(ref_planes[0], DENSE_R, False), cmax,
+            px, py, x0, width, height, mad_thr, hb, wb)
 
     # ---- sub-pel refinement from cached per-MB windows
     wy, wu, wv = wins

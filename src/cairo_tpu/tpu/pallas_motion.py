@@ -39,6 +39,9 @@ NROW = 40                                # SPAN padded to sublane multiple
 CR = R // 2                              # 8
 CSPAN = 2 * CR + 1                       # 17
 CNROW = 24                               # CSPAN padded
+CROWS = 24                               # cmax sublane stride per cdy row
+                                         # (8-aligned so dynamic loads of the
+                                         # 17 cdx rows stay legal)
 INT32_MAX = np.int32(0x7FFFFFFF)
 
 
@@ -96,9 +99,12 @@ def _dense_kernel(x0_ref, dims_ref, src_ref, cmax_ref, e_ref, ref_hbm,
     height = dims_ref[1]
     mad_thr = dims_ref[2]
 
-    # one 48-row slab per strip; row offset r*MB is 8-aligned (MB=16)
+    # one 48-row slab per strip; row offset r*MB is 8-aligned (MB=16).
+    # The slab scratch carries 8 junk pad rows at the bottom so the dy loop
+    # can always load an 8-aligned 24-row window (rolled into place below).
     dma = pltpu.make_async_copy(
-        ref_hbm.at[pl.ds(pl.multiple_of(r * MB, 8), MB + 2 * R)], slab, sem)
+        ref_hbm.at[pl.ds(pl.multiple_of(r * MB, 8), MB + 2 * R)],
+        slab.at[pl.ds(0, MB + 2 * R)], sem)
     dma.start()
 
     src = src_ref[...].astype(jnp.int32)
@@ -114,18 +120,21 @@ def _dense_kernel(x0_ref, dims_ref, src_ref, cmax_ref, e_ref, ref_hbm,
     big1 = jnp.full((1, wb), INT32_MAX, jnp.int32)
     zero1 = jnp.zeros((1, wb), jnp.int32)
 
-    # running dy-scan state (first-wins preserved: strict improvements only)
-    p_sad = p_ssd = p_mad = big1
-    c_mad = c_ssd = c_sad = big1
-    p_ox = p_oy = c_ox = c_oy = zero1
-    has_copy = jnp.zeros((1, wb), bool)
-    co_sad = co_mad = zero1
     dma.wait()
 
-    for dy in range(SPAN):
+    def dy_body(dy, carry):
+        (p_sad, p_ssd, p_mad, p_ox, p_oy,
+         c_mad, c_ssd, c_sad, c_ox, c_oy,
+         has_copy, co_sad, co_mad) = carry
         oy = dy - R
-        rows = slab[dy:dy + MB]
-        # --- stage per-dx column reductions
+        # dynamic sublane loads must be 8-aligned: load the aligned 24-row
+        # window around dy and rotate the residue (dy & 7) away.
+        win = slab[pl.ds(pl.multiple_of((dy >> 3) * 8, 8), MB + 8)]
+        # dynamic rotate is 32-bit only; the diffs need int32 anyway
+        rows = pltpu.roll(win.astype(jnp.int32),
+                          (MB + 8) - (dy & 7), 0)[0:MB]
+        # --- stage per-dx column reductions (dx stays unrolled: lane slices
+        # must be static)
         for dx in range(SPAN):
             d = jnp.abs(src - rows[:, dx:dx + w].astype(jnp.int32))
             s = jnp.sum(d, axis=0)                       # (W,) <= 4080
@@ -142,7 +151,7 @@ def _dense_kernel(x0_ref, dims_ref, src_ref, cmax_ref, e_ref, ref_hbm,
         sad_m = res[0:NROW, 0:wb] + (res[NROW:2 * NROW, 0:wb] << 8)
         lmad_m = res[2 * NROW:3 * NROW, wb:2 * wb]
         cdy = (oy >> 1) + CR
-        cmax_m = cmax_ref[0, cdy * CSPAN + CR - 8:cdy * CSPAN + CR + 9, :]
+        cmax_m = cmax_ref[0, pl.ds(pl.multiple_of(cdy * CROWS, 8), CROWS), :]
         # rows dx: cdx index = ((dx - R) >> 1) + CR = (dx >> 1) for dx>=0
         cm_exp = jnp.concatenate(
             [cmax_m[dx >> 1:(dx >> 1) + 1, :] for dx in range(SPAN)]
@@ -174,14 +183,25 @@ def _dense_kernel(x0_ref, dims_ref, src_ref, cmax_ref, e_ref, ref_hbm,
         c_sad = jnp.where(better_c, q_sad, c_sad)
         c_ox = jnp.where(better_c, q_dx - R, c_ox)
         c_oy = jnp.where(better_c, oy, c_oy)
-        has_copy = has_copy | any_c
+        has_copy = has_copy | any_c.astype(jnp.int32)  # i1 carries fail to
+        # legalize in scf.for, so the flag rides as int32
 
-        if oy == 0:
-            co_sad = sad_m[R:R + 1, :]
-            co_mad = mad_m[R:R + 1, :]
+        at_center = oy == 0
+        co_sad = jnp.where(at_center, sad_m[R:R + 1, :], co_sad)
+        co_mad = jnp.where(at_center, mad_m[R:R + 1, :], co_mad)
+        return (p_sad, p_ssd, p_mad, p_ox, p_oy,
+                c_mad, c_ssd, c_sad, c_ox, c_oy, has_copy, co_sad, co_mad)
+
+    # running dy-scan state (first-wins preserved: strict improvements only)
+    init = (big1, big1, big1, zero1, zero1,
+            big1, big1, big1, zero1, zero1,
+            zero1, zero1, zero1)
+    (p_sad, p_ssd, p_mad, p_ox, p_oy,
+     c_mad, c_ssd, c_sad, c_ox, c_oy,
+     has_copy, co_sad, co_mad) = jax.lax.fori_loop(0, SPAN, dy_body, init)
 
     frozen = co_mad < mad_thr
-    use_copy = has_copy & ~frozen
+    use_copy = (has_copy != 0) & ~frozen
     mx_ref[0] = jnp.where(frozen, 0, jnp.where(use_copy, c_ox, p_ox))
     my_ref[0] = jnp.where(frozen, 0, jnp.where(use_copy, c_oy, p_oy))
     sad_ref[0] = jnp.where(frozen, co_sad, jnp.where(use_copy, c_sad, p_sad))
@@ -193,7 +213,7 @@ def dense_select(src_y, ref_y_wide, cmax, x0, width, height, mad_thr):
     """Pallas drop-in for motion._dense_select.
 
     src_y: (H, W) int luma; ref_y_wide: (H, W+2R) reference carrying an
-    R-column margin each side; cmax: (hb, CSPAN*CSPAN, wb) int32 chroma
+    R-column margin each side; cmax: (hb, CSPAN*CROWS, wb) int32 chroma
     abs-max maps (from chroma_max_maps). Returns per-MB
     (mx, my, sad, mad, frozen), each flattened (hb*wb,)."""
     h, w = src_y.shape
@@ -215,7 +235,7 @@ def dense_select(src_y, ref_y_wide, cmax, x0, width, height, mad_thr):
         in_specs=[
             pl.BlockSpec((MB, w), lambda r, *_: (r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CSPAN * CSPAN, wb), lambda r, *_: (r, 0, 0),
+            pl.BlockSpec((1, CSPAN * CROWS, wb), lambda r, *_: (r, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w, 2 * wb), lambda r, *_: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -223,7 +243,7 @@ def dense_select(src_y, ref_y_wide, cmax, x0, width, height, mad_thr):
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((MB + 2 * R, wpad), jnp.int16),
+            pltpu.VMEM((MB + 2 * R + 8, wpad), jnp.int16),
             pltpu.VMEM((3 * NROW, w), jnp.bfloat16),
             pltpu.VMEM((NROW, w), jnp.float32),
             pltpu.VMEM((3 * NROW, 2 * wb), jnp.int32),
@@ -250,13 +270,14 @@ def _chroma_kernel(su_ref, sv_ref, e_ref, refu_hbm, refv_hbm, out_ref,
     w = su_ref.shape[1]
     wb = w // bs
 
-    # one 24-row slab per strip; row offset r*bs is 8-aligned (bs=8)
+    # one 24-row slab per strip (+8 junk pad rows for aligned dy loads);
+    # row offset r*bs is 8-aligned (bs=8)
     dma_u = pltpu.make_async_copy(
         refu_hbm.at[pl.ds(pl.multiple_of(r * bs, 8), bs + 2 * CR)],
-        slab_u, sems.at[0])
+        slab_u.at[pl.ds(0, bs + 2 * CR)], sems.at[0])
     dma_v = pltpu.make_async_copy(
         refv_hbm.at[pl.ds(pl.multiple_of(r * bs, 8), bs + 2 * CR)],
-        slab_v, sems.at[1])
+        slab_v.at[pl.ds(0, bs + 2 * CR)], sems.at[1])
     dma_u.start()
     dma_v.start()
     su = su_ref[...].astype(jnp.int32)
@@ -264,9 +285,15 @@ def _chroma_kernel(su_ref, sv_ref, e_ref, refu_hbm, refv_hbm, out_ref,
     dma_u.wait()
     dma_v.wait()
 
-    for dy in range(CSPAN):
-        rows_u = slab_u[dy:dy + bs]
-        rows_v = slab_v[dy:dy + bs]
+    def dy_body(dy, _):
+        aligned = pl.multiple_of((dy >> 3) * 8, 8)
+        win_u = slab_u[pl.ds(aligned, bs + 8)]
+        win_v = slab_v[pl.ds(aligned, bs + 8)]
+        # dynamic rotate is 32-bit only; the diffs need int32 anyway
+        rows_u = pltpu.roll(win_u.astype(jnp.int32),
+                            (bs + 8) - (dy & 7), 0)[0:bs]
+        rows_v = pltpu.roll(win_v.astype(jnp.int32),
+                            (bs + 8) - (dy & 7), 0)[0:bs]
         for dx in range(CSPAN):
             d = jnp.maximum(
                 jnp.abs(su - rows_u[:, dx:dx + w].astype(jnp.int32)),
@@ -276,9 +303,12 @@ def _chroma_kernel(su_ref, sv_ref, e_ref, refu_hbm, refv_hbm, out_ref,
         res[...] = jax.lax.dot_general(
             mm.astype(jnp.bfloat16), e_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(jnp.int32)
-        for dx in range(CSPAN):
-            i = dy * CSPAN + dx
-            out_ref[0, i:i + 1, :] = res[dx:dx + 1, wb:2 * wb]
+        # rows CSPAN..CROWS-1 of each group are junk padding (never read)
+        out_ref[0, pl.ds(pl.multiple_of(dy * CROWS, 8), CROWS), :] = \
+            res[0:CROWS, wb:2 * wb]
+        return 0
+
+    jax.lax.fori_loop(0, CSPAN, dy_body, 0)
 
 
 def chroma_max_maps(src_u, src_v, ref_u_wide, ref_v_wide):
@@ -305,12 +335,12 @@ def chroma_max_maps(src_u, src_v, ref_u_wide, ref_v_wide):
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, CSPAN * CSPAN, wb), lambda r: (r, 0, 0),
+        out_specs=pl.BlockSpec((1, CSPAN * CROWS, wb), lambda r: (r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hb, CSPAN * CSPAN, wb), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((hb, CSPAN * CROWS, wb), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((bs + 2 * CR, wpad), jnp.int16),
-            pltpu.VMEM((bs + 2 * CR, wpad), jnp.int16),
+            pltpu.VMEM((bs + 2 * CR + 8, wpad), jnp.int16),
+            pltpu.VMEM((bs + 2 * CR + 8, wpad), jnp.int16),
             pltpu.VMEM((CNROW, w), jnp.float32),
             pltpu.VMEM((CNROW, 2 * wb), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
