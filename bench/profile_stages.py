@@ -1,140 +1,86 @@
-"""Per-stage timing of the TPU pipeline on the real chip at 1080p.
-
-Usage: python bench/profile_stages.py [stage ...]
-Stages: encode decode motion pallas deblock windows gather entropy
+"""Per-stage timing at 1080p q16: device encode step, host entropy encode,
+host entropy decode, device decode step. Run: python bench/profile_stages.py
 """
 
 import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "..", ".jax_cache"))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "..", "src"))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from cairo_tpu import tables
-from cairo_tpu.tpu import engine, motion, ops
-
-MB = tables.MACROBLOCK_SIZE
-
-
-def timeit(fn, *args, n=5, warmup=2):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = jax.block_until_ready(fn(*args))
-    return (time.perf_counter() - t0) / n * 1e3, out
+from bench import synth_frames  # noqa: E402  (bench.py at repo root)
 
 
 def main():
-    which = set(sys.argv[1:]) or {"encode", "decode", "motion", "pallas",
-                                  "deblock", "windows", "gather"}
-    W, H = 1920, 1088
-    rng = np.random.default_rng(0)
-    y = jnp.asarray(rng.integers(16, 236, (H, W)), jnp.int16)
-    u = jnp.asarray(rng.integers(16, 240, (H // 2, W // 2)), jnp.int16)
-    v = jnp.asarray(rng.integers(16, 240, (H // 2, W // 2)), jnp.int16)
-    rgb = np.asarray(rng.integers(0, 255, (1080, 1920, 3)), np.uint8)
-    hb, wb = H // MB, W // MB
-    n = hb * wb
-    px = jnp.asarray((np.arange(n) % wb) * MB, jnp.int32)
-    py = jnp.asarray((np.arange(n) // wb) * MB, jnp.int32)
+    from cairo_tpu import native
+    from cairo_tpu.blocktypes import BlockTable
+    from cairo_tpu.tpu import engine
+    from cairo_tpu.tpu.api import TpuEncoder
 
-    if "windows" in which:
-        f = jax.jit(lambda p: motion.pred_windows(p))
-        ms, _ = timeit(f, (y.astype(jnp.int32), u.astype(jnp.int32),
-                           v.astype(jnp.int32)))
-        print(f"pred_windows:      {ms:8.2f} ms")
+    width, height = 1920, 1080
+    frames = synth_frames(width, height, 8)
 
-    if "motion" in which:
-        src_planes = (y.astype(jnp.int32), u.astype(jnp.int32),
-                      v.astype(jnp.int32))
-        src = (ops.plane_to_blocks(src_planes[0], MB),
-               ops.plane_to_blocks(src_planes[1], MB // 2),
-               ops.plane_to_blocks(src_planes[2], MB // 2))
-        wins = motion.pred_windows(src_planes)
-        ref = tuple(jnp.roll(p, 3, axis=1) for p in src_planes)
+    enc = TpuEncoder()
+    enc.set_quality(16)
+    chunks = []
+    stats = []
+    for f in frames:
+        chunks.append(enc.encode(f))
+        stats.append(enc.last_stats)
 
-        f = jax.jit(lambda s, sp, r, w: motion.inter_search(
-            s, sp, r, w, px, py, 16))
-        ms, _ = timeit(f, src, src_planes, ref, wins)
-        print(f"inter_search(XLA): {ms:8.2f} ms  (x3 refs per frame)")
+    for i, s in enumerate(stats):
+        print(f"enc frame {i}: {s['stage_ms']}")
 
-    if "pallas" in which:
-        from cairo_tpu.tpu import pallas_motion
-        ref = tuple(jnp.roll(p, 3, axis=1) for p in
-                    (y.astype(jnp.int32), u.astype(jnp.int32),
-                     v.astype(jnp.int32)))
-        fc = jax.jit(lambda su, sv, ru, rv:
-                     pallas_motion.chroma_max_maps(su, sv, ru, rv))
-        try:
-            ms, cmax = timeit(fc, u.astype(jnp.int32), v.astype(jnp.int32),
-                              ref[1], ref[2])
-            print(f"pallas chroma:     {ms:8.2f} ms")
-        except Exception as e:
-            print(f"pallas chroma FAILED: {type(e).__name__}: {e}")
-            cmax = None
-        if cmax is not None:
-            fd = jax.jit(lambda sy, ry, cm: pallas_motion.dense_select(
-                sy, jnp.pad(ry, ((0, 0), (16, 16))), cm, 0, W, H, 5))
-            try:
-                ms, _ = timeit(fd, y.astype(jnp.int32), ref[0], cmax)
-                print(f"pallas dense:      {ms:8.2f} ms  (x3 refs per frame)")
-            except Exception as e:
-                print(f"pallas dense FAILED: {type(e).__name__}: {e}")
+    # decode stages, measured separately
+    from cairo_tpu.cpuref.api import (FRAME_DESC_SIZE, HEADER_SIZE,
+                                      parse_header)
+    import struct
+    from cairo_tpu.cpuref.api import _FRAME_FMT
 
-    if "deblock" in which:
-        from cairo_tpu.tpu import deblock as deblock_mod
-        cm = jnp.zeros((hb, wb), bool)
-        qm = jnp.full((hb, wb), 16, jnp.int32)
-        f = jax.jit(lambda a, b, c: deblock_mod.deblock_frame(
-            a.astype(jnp.int32), b.astype(jnp.int32), c.astype(jnp.int32),
-            cm, qm))
-        ms, _ = timeit(f, y, u, v)
-        print(f"deblock_frame:     {ms:8.2f} ms")
+    aw = (width + 15) // 16 * 16
+    ah = (height + 15) // 16 * 16
+    n = (aw // 16) * (ah // 16)
+    bt = BlockTable.zeros(n)
+    coef_y = np.zeros((ah, aw), np.int16)
+    coef_u = np.zeros((ah // 2, aw // 2), np.int16)
+    coef_v = np.zeros((ah // 2, aw // 2), np.int16)
+    state = engine.init_state(aw, ah)
 
-    if "gather" in which:
-        state = engine.init_state(W, H)
-        tgt = jnp.ones(n, jnp.int32)
-        mx = jnp.asarray(rng.integers(-16, 17, n), jnp.int32)
-        my = jnp.asarray(rng.integers(-16, 17, n), jnp.int32)
-        spp = jnp.zeros(n, bool)
-        f = jax.jit(lambda s, t, a, b: engine._gather_pred(
-            s, 5, t, a, b, spp, spp, jnp.zeros(n, jnp.int32)))
-        ms, _ = timeit(f, state, tgt, mx, my)
-        print(f"_gather_pred:      {ms:8.2f} ms")
-
-    if "encode" in which:
-        state = engine.init_state(1920, H)
-        f = lambda r, s, i: engine.encode_step(
-            r, s, i, 16, width=1920, height=1080, aligned_w=1920,
-            aligned_h=H, is_inter=True)
-        ms, _ = timeit(f, rgb, state, 5)
-        print(f"encode_step:       {ms:8.2f} ms")
-
-    if "decode" in which:
-        state = engine.init_state(1920, H)
-        n2 = (1920 // MB) * (H // MB)
-        table = dict(
-            block_type=jnp.full(n2, 2, jnp.uint8),
-            prediction_target=jnp.ones(n2, jnp.uint8),
-            motion_x=jnp.asarray(rng.integers(-16, 17, n2), jnp.int16),
-            motion_y=jnp.asarray(rng.integers(-16, 17, n2), jnp.int16),
-            sp_pred=jnp.zeros(n2, bool), sp_amount=jnp.zeros(n2, bool),
-            sp_index=jnp.zeros(n2, jnp.uint8),
-            q_index=jnp.full(n2, 16, jnp.uint8))
-        coef = dict(coef_y=jnp.asarray(rng.integers(-5, 6, (H, 1920)), jnp.int16),
-                    coef_u=jnp.asarray(rng.integers(-5, 6, (H // 2, 960)), jnp.int16),
-                    coef_v=jnp.asarray(rng.integers(-5, 6, (H // 2, 960)), jnp.int16))
-        f = lambda t, c, s, i: engine.decode_step(
-            t, c, s, i, width=1920, height=1080, aligned_w=1920, aligned_h=H)
-        ms, _ = timeit(f, table, coef, state, 5)
-        print(f"decode_step:       {ms:8.2f} ms")
+    for i, chunk in enumerate(chunks):
+        offset = HEADER_SIZE if i == 0 else 0
+        ftype, index, quality = struct.unpack(
+            _FRAME_FMT, chunk[offset:offset + FRAME_DESC_SIZE])
+        offset += FRAME_DESC_SIZE
+        t0 = time.perf_counter()
+        native.decode_slice(chunk, offset * 8, bt, coef_y, coef_u, coef_v)
+        t1 = time.perf_counter()
+        table = dict(block_type=bt.block_type,
+                     prediction_target=bt.prediction_target,
+                     motion_x=bt.motion_x, motion_y=bt.motion_y,
+                     sp_pred=bt.sp_pred, sp_amount=bt.sp_amount,
+                     sp_index=bt.sp_index, q_index=bt.q_index)
+        coef = dict(coef_y=coef_y, coef_u=coef_u, coef_v=coef_v)
+        t2 = time.perf_counter()
+        state, rgb = engine.decode_step(table, coef, state, index,
+                                        width=width, height=height,
+                                        aligned_w=aw, aligned_h=ah)
+        jax.block_until_ready(rgb)
+        t3 = time.perf_counter()
+        rgb_host = np.asarray(jax.device_get(rgb))
+        t4 = time.perf_counter()
+        print(f"dec frame {i}: entropy={1e3*(t1-t0):.1f}ms "
+              f"h2d_prep={1e3*(t2-t1):.1f}ms device={1e3*(t3-t2):.1f}ms "
+              f"d2h={1e3*(t4-t3):.1f}ms")
+    del rgb_host
 
 
 if __name__ == "__main__":
