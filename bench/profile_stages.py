@@ -14,10 +14,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
+import importlib.util
+
 import jax
 import numpy as np
 
-from bench import synth_frames  # noqa: E402  (bench.py at repo root)
+# load repo-root bench.py explicitly (the bench/ directory would otherwise
+# shadow it if it ever grows an __init__.py)
+_spec = importlib.util.spec_from_file_location(
+    "_root_bench", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "bench.py"))
+_root_bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_root_bench)
+synth_frames = _root_bench.synth_frames
 
 
 def main():
@@ -41,8 +50,7 @@ def main():
         print(f"enc frame {i}: {s['stage_ms']}")
 
     # decode stages, measured separately
-    from cairo_tpu.cpuref.api import (FRAME_DESC_SIZE, HEADER_SIZE,
-                                      parse_header)
+    from cairo_tpu.cpuref.api import FRAME_DESC_SIZE, HEADER_SIZE
     import struct
     from cairo_tpu.cpuref.api import _FRAME_FMT
 
@@ -57,7 +65,7 @@ def main():
 
     for i, chunk in enumerate(chunks):
         offset = HEADER_SIZE if i == 0 else 0
-        ftype, index, quality = struct.unpack(
+        _, index, _ = struct.unpack(
             _FRAME_FMT, chunk[offset:offset + FRAME_DESC_SIZE])
         offset += FRAME_DESC_SIZE
         t0 = time.perf_counter()
