@@ -107,9 +107,14 @@ def _pred_for_tile(ring, frame_index, best):
 
 
 def tile_encode_step(rgb_tile, state, frame_index, quality, *, tile_w,
-                     aligned_h, full_width, is_inter, axis_name="tile"):
+                     aligned_h, full_width, is_inter, frame_w=None,
+                     frame_h=None, axis_name="tile"):
     """One frame for one tile (runs inside shard_map). Returns
-    (new_state, outputs) with tile-local block table and coeff planes."""
+    (new_state, outputs) with tile-local block table and coeff planes.
+
+    frame_w/frame_h are the real frame dims; pixels beyond them (the MB
+    alignment pad) are zeroed post-conversion exactly like the single-chip
+    engine.encode_step, so a 1-tile stream is byte-identical with it."""
     height = aligned_h
     wb, hb = tile_w // MB, height // MB
     n = wb * hb
@@ -119,6 +124,15 @@ def tile_encode_step(rgb_tile, state, frame_index, quality, *, tile_w,
     x0 = jax.lax.axis_index(axis_name) * tile_w
 
     y_in, u_in, v_in = ops.rgb_to_yuv420(rgb_tile)
+    if frame_w is not None or frame_h is not None:
+        fw = full_width if frame_w is None else frame_w
+        fh = aligned_h if frame_h is None else frame_h
+        gcols = x0 + jnp.arange(tile_w)
+        ymask = (jnp.arange(aligned_h)[:, None] < fh) & (gcols[None, :] < fw)
+        cmask = ymask[::2, ::2]
+        y_in = jnp.where(ymask, y_in, 0)
+        u_in = jnp.where(cmask, u_in, 0)
+        v_in = jnp.where(cmask, v_in, 0)
     src = (ops.plane_to_blocks(y_in, MB),
            ops.plane_to_blocks(u_in, MB // 2),
            ops.plane_to_blocks(v_in, MB // 2))
@@ -303,7 +317,8 @@ def make_mesh(n_gop: int, n_tile: int, devices=None):
                 axis_names=("gop", "tile"))
 
 
-def sharded_encode_step(mesh, *, tile_w, aligned_h, full_width, is_inter):
+def sharded_encode_step(mesh, *, tile_w, aligned_h, full_width, is_inter,
+                        frame_w=None, frame_h=None):
     """Builds the jitted shard_map'd encode step over (gop, tile)."""
     from jax.experimental.shard_map import shard_map
 
@@ -312,7 +327,8 @@ def sharded_encode_step(mesh, *, tile_w, aligned_h, full_width, is_inter):
         local_state = jax.tree.map(lambda x: x[0, 0], state)
         new_state, out = tile_encode_step(
             rgb[0], local_state, frame_index, quality, tile_w=tile_w,
-            aligned_h=aligned_h, full_width=full_width, is_inter=is_inter)
+            aligned_h=aligned_h, full_width=full_width, is_inter=is_inter,
+            frame_w=frame_w, frame_h=frame_h)
         new_state = jax.tree.map(lambda x: x[None, None], new_state)
         out = {k: v[None, None] for k, v in out.items()}
         return new_state, out
