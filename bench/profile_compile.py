@@ -12,6 +12,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "..", "src"))
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    jax.config.update("jax_platforms", "cpu")  # the axon plugin ignores env
 import jax.numpy as jnp
 import numpy as np
 

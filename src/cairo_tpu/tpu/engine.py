@@ -81,7 +81,10 @@ def _gather_pred(state, frame_index, target, mx, my, sp_pred, sp_amount,
 
 def _classify_inter(src, src_planes, ring, state_wins, px, py, quality,
                     frame_index):
-    """Inter-frame classification (encode.cpp:17-67, fast mode)."""
+    """Inter-frame classification (encode.cpp:17-67, fast mode).
+
+    The three reference-offset searches run as one lax.scan so the search
+    graph compiles once instead of three times."""
     n = px.shape[0]
     best = dict(
         sad=jnp.abs(src[0]).sum(axis=(1, 2), dtype=jnp.int32),
@@ -93,17 +96,19 @@ def _classify_inter(src, src_planes, ring, state_wins, px, py, quality,
         sp_index=jnp.zeros(n, jnp.int32))
 
     ry, ru, rv = ring
-    for offset in range(1, RING):
+
+    def body(best, offset):
         slot = (frame_index + RING - offset) % RING
-        ref = (ry[slot].astype(jnp.int32), ru[slot].astype(jnp.int32),
-               rv[slot].astype(jnp.int32))
-        wins = (state_wins[0][slot], state_wins[1][slot], state_wins[2][slot])
+        ref = tuple(jax.lax.dynamic_index_in_dim(p, slot, keepdims=False)
+                    .astype(jnp.int32) for p in (ry, ru, rv))
+        wins = tuple(jax.lax.dynamic_index_in_dim(w, slot, keepdims=False)
+                     for w in state_wins)
         cand = motion_mod.inter_search(src, src_planes, ref, wins, px, py,
                                        quality)
         take_on_copy = cand["is_copy"] != best["is_copy"]
         take = jnp.where(take_on_copy, cand["is_copy"],
                          cand["sad"] < best["sad"])
-        best = dict(
+        new = dict(
             sad=jnp.where(take, cand["sad"], best["sad"]),
             is_copy=jnp.where(take, cand["is_copy"], best["is_copy"]),
             is_motion=jnp.where(take, cand["is_motion"], best["is_motion"]),
@@ -114,11 +119,15 @@ def _classify_inter(src, src_planes, ring, state_wins, px, py, quality,
             sp_pred=jnp.where(take, cand["sp_pred"], best["sp_pred"]),
             sp_amount=jnp.where(take, cand["sp_amount"], best["sp_amount"]),
             sp_index=jnp.where(take, cand["sp_index"], best["sp_index"]))
+        return new, None
+
+    best, _ = jax.lax.scan(body, best, jnp.arange(1, RING, dtype=jnp.int32))
     return best
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "aligned_w",
-                                             "aligned_h", "is_inter"))
+                                             "aligned_h", "is_inter"),
+                   donate_argnums=(1,))
 def encode_step(rgb, state, frame_index, quality, *, width, height,
                 aligned_w, aligned_h, is_inter):
     """One frame through the device pipeline. Returns (new_state, outputs)."""
@@ -268,7 +277,8 @@ def encode_step(rgb, state, frame_index, quality, *, width, height,
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "aligned_w",
-                                             "aligned_h"))
+                                             "aligned_h"),
+                   donate_argnums=(2,))
 def decode_step(table, coef, state, frame_index, *, width, height,
                 aligned_w, aligned_h):
     """Parallel reconstruction of one parsed frame (no intra-motion blocks;

@@ -199,14 +199,19 @@ def _chroma_max_maps(src_u, src_v, ref_u_wide, ref_v_wide, radius):
     def row(dy, maps):
         slab_u = jax.lax.dynamic_slice(pu, (dy, 0), (height, width + 2 * radius))
         slab_v = jax.lax.dynamic_slice(pv, (dy, 0), (height, width + 2 * radius))
-        maxs = []
-        for dx in range(span):
-            du = jnp.abs(su - slab_u[:, dx:dx + width].astype(jnp.int32))
-            dv = jnp.abs(sv - slab_v[:, dx:dx + width].astype(jnp.int32))
+
+        def col(dx, row_map):
+            du = jnp.abs(su - jax.lax.dynamic_slice(
+                slab_u, (0, dx), (height, width)).astype(jnp.int32))
+            dv = jnp.abs(sv - jax.lax.dynamic_slice(
+                slab_v, (0, dx), (height, width)).astype(jnp.int32))
             d = jnp.maximum(du, dv).reshape(hb, 8, wb, 8)
-            maxs.append(d.max(axis=(1, 3)))
-        row_map = jnp.stack(maxs, axis=-1)[None]
-        return jax.lax.dynamic_update_slice(maps, row_map, (dy, 0, 0, 0))
+            return jax.lax.dynamic_update_slice(
+                row_map, d.max(axis=(1, 3))[:, :, None], (0, 0, dx))
+
+        row_map = jax.lax.fori_loop(
+            0, span, col, jnp.zeros((hb, wb, span), jnp.int32))
+        return jax.lax.dynamic_update_slice(maps, row_map[None], (dy, 0, 0, 0))
 
     return jax.lax.fori_loop(0, span, row,
                              jnp.zeros((span, hb, wb, span), jnp.int32))
@@ -233,26 +238,31 @@ def _dense_select(src_y, ref_y_wide, cmax, px, py, x0, width, height,
     zero = jnp.zeros((hb, wb), jnp.int32)
 
     def row(dy, carry):
-        (p_sad, p_ssd, p_mad, p_ox, p_oy,
-         c_mad, c_ssd, c_sad, c_ox, c_oy,
-         has_copy, co_sad, co_mad) = carry
         oy = dy - DENSE_R
         slab = jax.lax.dynamic_slice(padded, (dy, 0),
                                      (src_y.shape[0], tile_w + 2 * DENSE_R))
         cdy = (oy >> 1) + cr
         cmax_row = jax.lax.dynamic_slice(
             cmax, (cdy, 0, 0, 0), (1, hb, wb, 2 * cr + 1))[0]
-        for dx in range(span):
+
+        def col(dx, carry):
+            (p_sad, p_ssd, p_mad, p_ox, p_oy,
+             c_mad, c_ssd, c_sad, c_ox, c_oy,
+             has_copy, co_sad, co_mad) = carry
             ox = dx - DENSE_R
-            diff = jnp.abs(src - slab[:, dx:dx + tile_w].astype(jnp.int32))
+            diff = jnp.abs(src - jax.lax.dynamic_slice(
+                slab, (0, dx), (src_y.shape[0], tile_w)).astype(jnp.int32))
             d = diff.reshape(hb, MB, wb, MB)
             sad = d.sum(axis=(1, 3), dtype=jnp.int32)
-            mad = jnp.maximum(d.max(axis=(1, 3)),
-                              cmax_row[:, :, (ox >> 1) + cr])
-            ssd = jnp.int32(ox * ox) + oy * oy
+            mad = jnp.maximum(
+                d.max(axis=(1, 3)),
+                jax.lax.dynamic_index_in_dim(cmax_row, (ox >> 1) + cr, axis=2,
+                                             keepdims=False))
+            ssd = ox * ox + oy * oy
             gx = x0 + pxm + ox
             gy = pym + oy
-            valid = (gx >= 0) & (gx <= width - MB) &                     (gy >= 0) & (gy <= height - MB)
+            valid = (gx >= 0) & (gx <= width - MB) & \
+                    (gy >= 0) & (gy <= height - MB)
 
             better = valid & ((sad < p_sad) | ((sad == p_sad) & (ssd < p_ssd)))
             p_sad = jnp.where(better, sad, p_sad)
@@ -270,12 +280,13 @@ def _dense_select(src_y, ref_y_wide, cmax, px, py, x0, width, height,
             c_oy = jnp.where(better_c, oy, c_oy)
             has_copy = has_copy | is_copy
 
-            if dx == DENSE_R:
-                is_center = oy == 0
-                co_sad = jnp.where(is_center, sad, co_sad)
-                co_mad = jnp.where(is_center, mad, co_mad)
-        return (p_sad, p_ssd, p_mad, p_ox, p_oy,
-                c_mad, c_ssd, c_sad, c_ox, c_oy, has_copy, co_sad, co_mad)
+            is_center = (oy == 0) & (dx == DENSE_R)
+            co_sad = jnp.where(is_center, sad, co_sad)
+            co_mad = jnp.where(is_center, mad, co_mad)
+            return (p_sad, p_ssd, p_mad, p_ox, p_oy,
+                    c_mad, c_ssd, c_sad, c_ox, c_oy, has_copy, co_sad, co_mad)
+
+        return jax.lax.fori_loop(0, span, col, carry)
 
     carry = (big, big, big, zero, zero,
              big, big, big, zero, zero,
@@ -393,50 +404,58 @@ def inter_search(src, src_planes, ref_planes, wins, px, py, quality, *,
     best_u = uwin[:, 1:9, 1:9]
     best_v = vwin[:, 1:9, 1:9]
 
-    sp_enabled = jnp.zeros(n, bool)
-    sp_amount = jnp.zeros(n, bool)
-    sp_index = jnp.zeros(n, jnp.int32)
-    sad_s, mad_s = best_sad, best_mad
-    for dj in (-1, 0, 1):
-        for di in (-1, 0, 1):
-            if di == 0 and dj == 0:
-                continue
-            tmx, tmy = mx + di, my + dj
-            valid_sp = ((x0 + px + tmx >= 0) & (x0 + px + tmx <= width - MB) &
-                        (py + tmy >= 0) & (py + tmy <= height - MB) & ~frozen)
-            test_y = ywin[:, 1 + dj:17 + dj, 1 + di:17 + di]
-            # chroma neighbor offset depends on the parity of mx/my
-            cdx = ((mx + di) >> 1) - (mx >> 1)
-            cdy = ((my + dj) >> 1) - (my >> 1)
-            # rows: static dj>>... build row slices per cdy via select
-            def cslice(win, cdx, cdy):
-                rows = [win[:, 0:8, :], win[:, 1:9, :], win[:, 2:10, :]]
-                r = jnp.where((cdy == -1)[:, None, None], rows[0],
-                              jnp.where((cdy == 0)[:, None, None], rows[1],
-                                        rows[2]))
-                cols = [r[:, :, 0:8], r[:, :, 1:9], r[:, :, 2:10]]
-                return jnp.where((cdx == -1)[:, None, None], cols[0],
-                                 jnp.where((cdx == 0)[:, None, None], cols[1],
-                                           cols[2]))
-            test_u = cslice(uwin, cdx, cdy)
-            test_v = cslice(vwin, cdx, cdy)
-            for amount, lerp in ((False, ops.lerp_half), (True, ops.lerp_quarter)):
-                cy_ = lerp(best_y, test_y)
-                cu_ = lerp(best_u, test_u)
-                cv_ = lerp(best_v, test_v)
-                c_sad = _sad(src[0], cy_)
-                c_mad = _mad(src, (cy_, cu_, cv_))
-                copy_branch = mad_s < mad_thr
-                accept_copy = c_mad < mad_s
-                accept_plain = ((c_sad < sad_s) & (c_sad < SAD_THRESHOLD)) | \
-                    (c_mad < mad_thr)
-                accept = valid_sp & jnp.where(copy_branch, accept_copy,
-                                              accept_plain)
-                sp_enabled = jnp.where(accept, True, sp_enabled)
-                sp_amount = jnp.where(accept, amount, sp_amount)
-                sp_index = jnp.where(accept, sp_dir_to_index(di, dj), sp_index)
-                sad_s = jnp.where(accept, c_sad, sad_s)
-                mad_s = jnp.where(accept, c_mad, mad_s)
+    # scan over the 8 neighbor directions (same evaluation order as the
+    # unrolled reference loop; a scan keeps the XLA graph 8x smaller)
+    dirs = jnp.asarray([(di, dj, sp_dir_to_index(di, dj))
+                        for dj in (-1, 0, 1) for di in (-1, 0, 1)
+                        if (di, dj) != (0, 0)], jnp.int32)
+
+    def sp_body(carry, d):
+        sad_s, mad_s, sp_enabled, sp_amount, sp_index = carry
+        di, dj = d[0], d[1]
+        tmx, tmy = mx + di, my + dj
+        valid_sp = ((x0 + px + tmx >= 0) & (x0 + px + tmx <= width - MB) &
+                    (py + tmy >= 0) & (py + tmy <= height - MB) & ~frozen)
+        test_y = jax.lax.dynamic_slice(ywin, (0, 1 + dj, 1 + di),
+                                       (n, MB, MB))
+        # chroma neighbor offset depends on the parity of mx/my
+        cdx = ((mx + di) >> 1) - (mx >> 1)
+        cdy = ((my + dj) >> 1) - (my >> 1)
+
+        def cslice(win, cdx, cdy):
+            rows = [win[:, 0:8, :], win[:, 1:9, :], win[:, 2:10, :]]
+            r = jnp.where((cdy == -1)[:, None, None], rows[0],
+                          jnp.where((cdy == 0)[:, None, None], rows[1],
+                                    rows[2]))
+            cols = [r[:, :, 0:8], r[:, :, 1:9], r[:, :, 2:10]]
+            return jnp.where((cdx == -1)[:, None, None], cols[0],
+                             jnp.where((cdx == 0)[:, None, None], cols[1],
+                                       cols[2]))
+        test_u = cslice(uwin, cdx, cdy)
+        test_v = cslice(vwin, cdx, cdy)
+        for amount, lerp in ((False, ops.lerp_half), (True, ops.lerp_quarter)):
+            cy_ = lerp(best_y, test_y)
+            cu_ = lerp(best_u, test_u)
+            cv_ = lerp(best_v, test_v)
+            c_sad = _sad(src[0], cy_)
+            c_mad = _mad(src, (cy_, cu_, cv_))
+            copy_branch = mad_s < mad_thr
+            accept_copy = c_mad < mad_s
+            accept_plain = ((c_sad < sad_s) & (c_sad < SAD_THRESHOLD)) | \
+                (c_mad < mad_thr)
+            accept = valid_sp & jnp.where(copy_branch, accept_copy,
+                                          accept_plain)
+            sp_enabled = jnp.where(accept, True, sp_enabled)
+            sp_amount = jnp.where(accept, amount, sp_amount)
+            sp_index = jnp.where(accept, d[2], sp_index)
+            sad_s = jnp.where(accept, c_sad, sad_s)
+            mad_s = jnp.where(accept, c_mad, mad_s)
+        return (sad_s, mad_s, sp_enabled, sp_amount, sp_index), None
+
+    carry = (best_sad, best_mad, jnp.zeros(n, bool), jnp.zeros(n, bool),
+             jnp.zeros(n, jnp.int32))
+    (sad_s, mad_s, sp_enabled, sp_amount, sp_index), _ = jax.lax.scan(
+        sp_body, carry, dirs)
 
     motion = (mx != 0) | (my != 0) | sp_enabled
     copy = mad_s < mad_thr
