@@ -45,6 +45,12 @@ def lib():
         L.evxn_decode_slice.restype = ctypes.c_longlong
         L.evxn_decode_slice.argtypes = [u8, u64, u, u, u] + \
             [u8, u8, i16, i16, u8, u8, u8, u8] + [i16, i16, i16, u, u]
+        i32 = ctypes.POINTER(ctypes.c_int)
+        L.evxn_extract_coo.restype = ctypes.c_longlong
+        L.evxn_extract_coo.argtypes = [u8, u, u, i16, i16, i16, u, u,
+                                       i32, i16, ctypes.c_longlong]
+        L.evxn_yuv_wire_to_rgb.restype = ctypes.c_longlong
+        L.evxn_yuv_wire_to_rgb.argtypes = [u8, u, u, u, u, u, u8]
         _lib = L
     return _lib
 
@@ -119,3 +125,32 @@ def decode_slice(data: bytes, bit_offset: int, bt: BlockTable, y: np.ndarray,
     bt.sp_index[:] = a[6]
     bt.q_index[:] = a[7]
     return int(bits)
+
+
+def extract_coo(block_type: np.ndarray, wb: int, y: np.ndarray,
+                u: np.ndarray, v: np.ndarray, cap: int
+                ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Nonzero residuals of non-copy MBs as (pos, val, count) over the
+    concatenated Y|U|V plane space (decoder upload format, tpu/wire.py).
+    count may exceed cap: caller must then use the dense path."""
+    height, width = y.shape
+    bt8 = np.ascontiguousarray(block_type, dtype=np.uint8)
+    pos = np.zeros(cap, np.int32)
+    val = np.zeros(cap, np.int16)
+    n = len(bt8)
+    count = lib().evxn_extract_coo(
+        _p8(bt8), n, wb, _p16(y), _p16(u), _p16(v), width, height,
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), _p16(val), cap)
+    return pos, val, int(count)
+
+
+def yuv_wire_to_rgb(wire: np.ndarray, aw: int, ah: int, width: int,
+                    height: int, exc_k: int) -> tuple[np.ndarray, int]:
+    """Converts the decoder's 9-bit YUV wire to (H, W, 3) uint8 RGB.
+    Returns (rgb, exception_count); count > exc_k means the wire was not
+    exact and the caller must refetch exact planes."""
+    wire = np.ascontiguousarray(wire, dtype=np.uint8)
+    rgb = np.empty((height, width, 3), np.uint8)
+    count = lib().evxn_yuv_wire_to_rgb(_p8(wire), aw, ah, width, height,
+                                       exc_k, _p8(rgb))
+    return rgb, int(count)

@@ -11,6 +11,7 @@
 // wire behavior it must reproduce.
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <initializer_list>
 
@@ -484,6 +485,109 @@ long long evxn_decode_slice(
         }
     }
     return (long long)src.bit_pos;
+}
+
+// Collects the nonzero residual coefficients of non-copy macroblocks as a
+// COO list over the concatenated Y|U|V plane space (device upload format,
+// tpu/wire.py). Returns the true nonzero count; entries beyond `cap` are
+// not written (the caller falls back to a dense upload).
+long long evxn_extract_coo(
+    const uint8_t *type, unsigned n_blocks, unsigned wb,
+    const int16_t *yp, const int16_t *up, const int16_t *vp,
+    unsigned yw, unsigned yh,
+    int *coo_pos, int16_t *coo_val, long long cap) {
+    long long cnt = 0;
+    const unsigned cw = yw >> 1, chh = yh >> 1;
+    const long long ubase = (long long)yw * yh;
+    const long long vbase = ubase + (long long)cw * chh;
+    for (unsigned b = 0; b < n_blocks; ++b) {
+        if (t_copy(type[b])) continue;  // stays stale on device
+        unsigned x = (b % wb) * 16, y = (b / wb) * 16;
+        for (unsigned r = 0; r < 16; ++r) {
+            const int16_t *row = yp + (long long)(y + r) * yw + x;
+            long long base = (long long)(y + r) * yw + x;
+            for (unsigned c = 0; c < 16; ++c) {
+                if (row[c]) {
+                    if (cnt < cap) {
+                        coo_pos[cnt] = (int)(base + c);
+                        coo_val[cnt] = row[c];
+                    }
+                    ++cnt;
+                }
+            }
+        }
+        unsigned cx = (b % wb) * 8, cy = (b / wb) * 8;
+        const int16_t *planes[2] = {up, vp};
+        const long long bases[2] = {ubase, vbase};
+        for (int pl = 0; pl < 2; ++pl) {
+            for (unsigned r = 0; r < 8; ++r) {
+                const int16_t *row = planes[pl] + (long long)(cy + r) * cw + cx;
+                long long base = bases[pl] + (long long)(cy + r) * cw + cx;
+                for (unsigned c = 0; c < 8; ++c) {
+                    if (row[c]) {
+                        if (cnt < cap) {
+                            coo_pos[cnt] = (int)(base + c);
+                            coo_val[cnt] = row[c];
+                        }
+                        ++cnt;
+                    }
+                }
+            }
+        }
+    }
+    return cnt;
+}
+
+// Converts the decoder's 9-bit YUV output wire (tpu/wire.py layout) to RGB
+// with the exact integer math of convert.cpp:75-93 (arithmetic shifts,
+// final clip). Returns the wire's exception count so the caller can detect
+// capacity overflow (count > exc_k -> the wire is not exact).
+long long evxn_yuv_wire_to_rgb(
+    const uint8_t *wire, unsigned aw, unsigned ah,
+    unsigned width, unsigned height, unsigned exc_k, uint8_t *rgb) {
+    const long long ysz = (long long)aw * ah;
+    const unsigned cw = aw >> 1, chh = ah >> 1;
+    const long long csz = (long long)cw * chh;
+    const long long total = ysz + 2 * csz;
+    const uint8_t *lo = wire;
+    const uint8_t *hi = wire + total;
+    const uint8_t *tail = hi + total / 8;
+    int exc_count;
+    memcpy(&exc_count, tail, 4);
+
+    int16_t *vals = (int16_t *)malloc((size_t)total * sizeof(int16_t));
+    for (long long i = 0; i < total; ++i) {
+        vals[i] = (int16_t)((int)lo[i] + (((hi[i >> 3] >> (i & 7)) & 1) << 8)
+                            - 32);
+    }
+    long long n_exc = exc_count < (int)exc_k ? exc_count : (long long)exc_k;
+    for (long long i = 0; i < n_exc; ++i) {
+        int pos;
+        int16_t val;
+        memcpy(&pos, tail + 4 + 4 * i, 4);
+        memcpy(&val, tail + 4 + 4 * (long long)exc_k + 2 * i, 2);
+        vals[pos] = val;
+    }
+    const int16_t *Y = vals, *U = vals + ysz, *V = vals + ysz + csz;
+    for (unsigned r = 0; r < height; ++r) {
+        const int16_t *yrow = Y + (long long)r * aw;
+        const int16_t *urow = U + (long long)(r >> 1) * cw;
+        const int16_t *vrow = V + (long long)(r >> 1) * cw;
+        uint8_t *orow = rgb + (long long)r * width * 3;
+        for (unsigned c = 0; c < width; ++c) {
+            int yy = yrow[c] - 16;
+            int uu = urow[c >> 1] - 128;
+            int vv = vrow[c >> 1] - 128;
+            int rr = (256 * yy + 358 * vv + 128) >> 8;
+            int gg = (256 * yy - 88 * uu - 182 * vv + 128) >> 8;
+            int bb = (256 * yy + 452 * uu + 128) >> 8;
+            orow[3 * c + 0] = (uint8_t)(rr < 0 ? 0 : (rr > 255 ? 255 : rr));
+            orow[3 * c + 1] = (uint8_t)(gg < 0 ? 0 : (gg > 255 ? 255 : gg));
+            orow[3 * c + 2] = (uint8_t)(bb < 0 ? 0 : (bb > 255 ? 255 : bb));
+        }
+    }
+    free(vals);
+    return exc_count;
 }
 
 } // extern "C"

@@ -23,6 +23,7 @@ from ..cpuref.api import (FRAME_DESC_SIZE, HEADER_SIZE, _FRAME_FMT,
 from ..cpuref import imaging as cpu_imaging
 from ..xmath import clip_range
 from . import engine
+from . import wire as wire_mod
 
 MB = tables.MACROBLOCK_SIZE
 
@@ -102,6 +103,7 @@ class TpuEncoder:
                 rgb, self._state, self.frame_index, self.quality,
                 width=self.width, height=self.height, aligned_w=self._aw,
                 aligned_h=self._ah, is_inter=self.frame_type == FRAME_INTER)
+        out["wire"].copy_to_host_async()  # start the D2H as compute finishes
         pending = dict(header=header, frame_desc=frame_desc, out=out,
                        frame_index=self.frame_index,
                        frame_type=self.frame_type, quality=self.quality,
@@ -115,11 +117,27 @@ class TpuEncoder:
         return pending
 
     def _finish(self, pending) -> bytes:
-        out = jax.device_get(pending["out"])
+        # one packed transfer; the full-size device outputs are only fetched
+        # on AC overflow (wire.py) or by the debug/peek paths
+        buf = np.asarray(pending["out"]["wire"])
         t_dev = time.perf_counter()
+        n = (self._aw // MB) * (self._ah // MB)
+        out, cy, cu, cv, overflow = wire_mod.unpack_encode_wire(
+            buf, n, self._ah, self._aw)
+        if overflow:
+            cy = np.asarray(pending["out"]["coef_y"])
+            cu = np.asarray(pending["out"]["coef_u"])
+            cv = np.asarray(pending["out"]["coef_v"])
+        if pending["frame_index"] == 0:
+            # one-time wire self-check (guards device bitcast byte order)
+            direct = jax.device_get(pending["out"])
+            assert np.array_equal(out["block_type"], direct["block_type"])
+            assert np.array_equal(out["variance"], direct["variance"])
+            assert overflow or np.array_equal(cy, direct["coef_y"])
         # copy blocks keep the table's previous q_index/variance (the
         # reference's clear_block_desc quirk, common.cpp:67-73); peek-only —
         # neither field is serialized for copy blocks
+        out = dict(out)
         copy = (out["block_type"].astype(np.int32) & COPY_BIT) != 0
         if self._stale_q is not None:
             out["q_index"] = np.where(copy, self._stale_q, out["q_index"])
@@ -136,8 +154,7 @@ class TpuEncoder:
             sp_index=out["sp_index"], q_index=out["q_index"],
             variance=out["variance"])
         with jax.profiler.TraceAnnotation("cairo_tpu.entropy_encode"):
-            slice_bytes, _ = native.encode_slice(
-                bt, out["coef_y"], out["coef_u"], out["coef_v"])
+            slice_bytes, _ = native.encode_slice(bt, cy, cu, cv)
         t_ent = time.perf_counter()
 
         chunk = pending["header"] + pending["frame_desc"] + slice_bytes
@@ -253,7 +270,10 @@ class TpuDecoder:
         self._coef_u = np.zeros((self._ah // 2, self._aw // 2), np.int16)
         self._coef_v = np.zeros((self._ah // 2, self._aw // 2), np.int16)
 
-    def decode(self, chunk: bytes) -> np.ndarray:
+    def _dispatch_decode(self, chunk: bytes) -> dict:
+        """Parses one chunk and launches its device work (async). Returns a
+        pending record for _finish_decode. Frames that need the sequential
+        fallback are reconstructed synchronously here."""
         offset = 0
         if self._state is None:
             width, height = parse_header(chunk[:HEADER_SIZE])
@@ -264,9 +284,11 @@ class TpuDecoder:
         if index != self.frame_index:
             raise ValueError("out-of-order frame")
         offset += FRAME_DESC_SIZE
+        t0 = time.perf_counter()
 
         native.decode_slice(chunk, offset * 8, self._bt, self._coef_y,
                             self._coef_u, self._coef_v)
+        t_ent = time.perf_counter()
 
         has_intra_motion = bool(np.any(
             (self._bt.block_type & INTRA_BIT).astype(bool)
@@ -275,23 +297,69 @@ class TpuDecoder:
         mv_in_range = bool(np.all(
             (np.abs(self._bt.motion_x[is_motion_blk]) <= 16)
             & (np.abs(self._bt.motion_y[is_motion_blk]) <= 16)))
-        if has_intra_motion or not mv_in_range:
-            rgb = self._decode_sequential(index)
-        else:
-            table = dict(
-                block_type=self._bt.block_type,
-                prediction_target=self._bt.prediction_target,
-                motion_x=self._bt.motion_x, motion_y=self._bt.motion_y,
-                sp_pred=self._bt.sp_pred, sp_amount=self._bt.sp_amount,
-                sp_index=self._bt.sp_index, q_index=self._bt.q_index)
-            coef = dict(coef_y=self._coef_y, coef_u=self._coef_u,
-                        coef_v=self._coef_v)
-            self._state, rgb = engine.decode_step(
-                table, coef, self._state, index, width=self.width,
-                height=self.height, aligned_w=self._aw, aligned_h=self._ah)
-            rgb = np.asarray(jax.device_get(rgb))
         self.frame_index += 1
+        if has_intra_motion or not mv_in_range:
+            return dict(kind="host", rgb=self._decode_sequential(index))
+
+        pos, val, count = native.extract_coo(
+            self._bt.block_type, self._aw // MB, self._coef_y, self._coef_u,
+            self._coef_v, wire_mod.COO_K)
+        if count <= wire_mod.COO_K:
+            table_wire = wire_mod.pack_table_np(self._bt)
+            with jax.profiler.TraceAnnotation("cairo_tpu.decode_step"):
+                self._state, yuv = engine.decode_step_coo(
+                    table_wire, pos, val, self._state, index,
+                    aligned_w=self._aw, aligned_h=self._ah)
+            yuv.copy_to_host_async()
+            return dict(kind="wire", yuv=yuv, index=index,
+                        t0=t0, t_ent=t_ent)
+        # dense fallback (residual volume beyond COO capacity)
+        table = dict(
+            block_type=self._bt.block_type,
+            prediction_target=self._bt.prediction_target,
+            motion_x=self._bt.motion_x, motion_y=self._bt.motion_y,
+            sp_pred=self._bt.sp_pred, sp_amount=self._bt.sp_amount,
+            sp_index=self._bt.sp_index, q_index=self._bt.q_index)
+        coef = dict(coef_y=self._coef_y, coef_u=self._coef_u,
+                    coef_v=self._coef_v)
+        self._state, rgb = engine.decode_step(
+            table, coef, self._state, index, width=self.width,
+            height=self.height, aligned_w=self._aw, aligned_h=self._ah)
+        return dict(kind="dense", rgb=rgb)
+
+    def _finish_decode(self, pending) -> np.ndarray:
+        if pending["kind"] == "host":
+            return pending["rgb"]
+        if pending["kind"] == "dense":
+            return np.asarray(pending["rgb"])
+        buf = np.asarray(pending["yuv"])
+        with jax.profiler.TraceAnnotation("cairo_tpu.yuv_to_rgb"):
+            rgb, exc_count = native.yuv_wire_to_rgb(
+                buf, self._aw, self._ah, self.width, self.height,
+                wire_mod.EXC_K)
+        if exc_count > wire_mod.EXC_K:
+            # wire was lossy: refetch the exact recon from the ring slot
+            slot = pending["index"] % tables.REFERENCE_FRAME_COUNT
+            y = np.asarray(self._state["ring_y"][slot])
+            u = np.asarray(self._state["ring_u"][slot])
+            v = np.asarray(self._state["ring_v"][slot])
+            rgb = cpu_imaging.yuv420_to_rgb(y, u, v, self.width, self.height)
         return rgb
+
+    def decode(self, chunk: bytes) -> np.ndarray:
+        return self._finish_decode(self._dispatch_decode(chunk))
+
+    def decode_many(self, chunks):
+        """Pipelined decode: the device reconstructs frame N+1 while the
+        host converts/outputs frame N. Yields one RGB frame per chunk."""
+        pending = None
+        for chunk in chunks:
+            nxt = self._dispatch_decode(chunk)
+            if pending is not None:
+                yield self._finish_decode(pending)
+            pending = nxt
+        if pending is not None:
+            yield self._finish_decode(pending)
 
     # -- checkpoint / resume (cairo_tpu.checkpoint) ------------------------
 
@@ -359,5 +427,9 @@ class TpuDecoder:
             win_y=self._state["win_y"].at[slot].set(nwy.astype(jnp.int16)),
             win_u=self._state["win_u"].at[slot].set(nwu.astype(jnp.int16)),
             win_v=self._state["win_v"].at[slot].set(nwv.astype(jnp.int16)),
+            # the device-persistent coefficient planes must track the host's
+            # (the COO path rebuilds only non-copy blocks each frame)
+            coef_y=jnp.asarray(self._coef_y), coef_u=jnp.asarray(self._coef_u),
+            coef_v=jnp.asarray(self._coef_v),
         )
         return cpu_engine.recon_to_rgb(ctx, index, self.width, self.height)

@@ -24,6 +24,7 @@ from ..blocktypes import COPY_BIT, INTRA_BIT, MOTION_BIT, INTRA_DEFAULT
 from . import deblock as deblock_mod
 from . import motion as motion_mod
 from . import ops
+from . import wire as wire_mod
 
 MB = tables.MACROBLOCK_SIZE
 RING = tables.REFERENCE_FRAME_COUNT
@@ -273,16 +274,17 @@ def encode_step(rgb, state, frame_index, quality, *, width, height,
         variance=ops.wrap16(variance).astype(jnp.int16),
         coef_y=coef_y, coef_u=coef_u, coef_v=coef_v,
     )
+    # single packed host transfer; the full-size fields above stay on device
+    # unless the host needs them (AC overflow, debug)
+    outputs["wire"] = wire_mod.pack_encode_wire(outputs, coef_y, coef_u,
+                                                coef_v)
     return new_state, outputs
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "aligned_w",
-                                             "aligned_h"),
-                   donate_argnums=(2,))
-def decode_step(table, coef, state, frame_index, *, width, height,
-                aligned_w, aligned_h):
-    """Parallel reconstruction of one parsed frame (no intra-motion blocks;
-    the host checks that precondition and falls back to cpuref otherwise)."""
+def _decode_common(table, coef_y, coef_u, coef_v, state, frame_index,
+                   aligned_w, aligned_h):
+    """Shared reconstruction body (decode.cpp:15-144 for fast-mode streams).
+    coef planes: int32-valued; returns (new_state, rec_y, rec_u, rec_v)."""
     px, py, wb, hb = _mb_coords(aligned_w, aligned_h)
 
     block_type = table["block_type"].astype(jnp.int32)
@@ -302,9 +304,9 @@ def decode_step(table, coef, state, frame_index, *, width, height,
     intra_default = is_intra & ~is_motion
     pred = tuple(jnp.where(intra_default[:, None, None], 0, p) for p in pred)
 
-    cy = ops.plane_to_blocks(coef["coef_y"].astype(jnp.int32), MB)
-    cu = ops.plane_to_blocks(coef["coef_u"].astype(jnp.int32), MB // 2)
-    cv = ops.plane_to_blocks(coef["coef_v"].astype(jnp.int32), MB // 2)
+    cy = ops.plane_to_blocks(coef_y, MB)
+    cu = ops.plane_to_blocks(coef_u, MB // 2)
+    cv = ops.plane_to_blocks(coef_v, MB // 2)
 
     qp4 = jnp.repeat(qp, 4)
     intra_qm = intra_default
@@ -350,9 +352,59 @@ def decode_step(table, coef, state, frame_index, *, width, height,
             state["win_u"], nwu.astype(jnp.int16), slot, 0),
         win_v=jax.lax.dynamic_update_index_in_dim(
             state["win_v"], nwv.astype(jnp.int16), slot, 0),
-        coef_y=state["coef_y"], coef_u=state["coef_u"], coef_v=state["coef_v"],
+        coef_y=coef_y.astype(jnp.int16), coef_u=coef_u.astype(jnp.int16),
+        coef_v=coef_v.astype(jnp.int16),
     )
+    return new_state, rec_y, rec_u, rec_v
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "aligned_w",
+                                             "aligned_h"),
+                   donate_argnums=(2,))
+def decode_step(table, coef, state, frame_index, *, width, height,
+                aligned_w, aligned_h):
+    """Parallel reconstruction of one parsed frame from dense coefficient
+    planes, returning host RGB (no intra-motion blocks; the host checks that
+    precondition and falls back otherwise)."""
+    new_state, rec_y, rec_u, rec_v = _decode_common(
+        table, coef["coef_y"].astype(jnp.int32),
+        coef["coef_u"].astype(jnp.int32), coef["coef_v"].astype(jnp.int32),
+        state, frame_index, aligned_w, aligned_h)
     rgb = ops.yuv420_to_rgb(rec_y[:height, :width],
                             rec_u[:(height + 1) // 2, :(width + 1) // 2],
                             rec_v[:(height + 1) // 2, :(width + 1) // 2])
     return new_state, rgb
+
+
+@functools.partial(jax.jit, static_argnames=("aligned_w", "aligned_h"),
+                   donate_argnums=(3,))
+def decode_step_coo(table_wire, coo_pos, coo_val, state, frame_index, *,
+                    aligned_w, aligned_h):
+    """Transfer-optimized decode: packed table + residual COO in, 9-bit YUV
+    wire out (see tpu.wire). Coefficient planes persist in device state;
+    copy blocks keep their stale residuals, non-copy blocks are rebuilt from
+    the COO list."""
+    n = (aligned_w // MB) * (aligned_h // MB)
+    table = wire_mod.unpack_table_wire(table_wire, n)
+    is_copy = (table["block_type"].astype(jnp.int32) & COPY_BIT) != 0
+
+    ys = aligned_h * aligned_w
+    cs = (aligned_h // 2) * (aligned_w // 2)
+    flat = jnp.zeros(ys + 2 * cs, jnp.int32).at[coo_pos].add(
+        coo_val.astype(jnp.int32), mode="drop")
+    wb, hb = aligned_w // MB, aligned_h // MB
+    copy_map = is_copy.reshape(hb, wb)
+    ymask = jnp.repeat(jnp.repeat(copy_map, MB, axis=0), MB, axis=1)
+    cmask = ymask[::2, ::2]
+    coef_y = jnp.where(ymask, state["coef_y"].astype(jnp.int32),
+                       flat[:ys].reshape(aligned_h, aligned_w))
+    coef_u = jnp.where(cmask, state["coef_u"].astype(jnp.int32),
+                       flat[ys:ys + cs].reshape(aligned_h // 2, aligned_w // 2))
+    coef_v = jnp.where(cmask, state["coef_v"].astype(jnp.int32),
+                       flat[ys + cs:].reshape(aligned_h // 2, aligned_w // 2))
+
+    new_state, rec_y, rec_u, rec_v = _decode_common(
+        table, coef_y, coef_u, coef_v, state, frame_index,
+        aligned_w, aligned_h)
+    yuv = wire_mod.pack_yuv_wire(rec_y, rec_u, rec_v)
+    return new_state, yuv

@@ -1,0 +1,194 @@
+"""Compact device<->host transfer wire.
+
+The host<->device link (axon tunnel / PCIe) is the throughput bottleneck of
+the 1080p pipeline: ~45 MB/s with ~5-15 ms per-transfer latency (measured,
+bench/bench_link.py), against a ~116 ms/frame budget. Every per-frame
+exchange is therefore packed into ONE uint8 buffer per direction, with
+int16 data squeezed to 8 bits plus sidebands:
+
+- encoder output wire: block table (SoA, fixed offsets) + coefficient
+  planes as int8 (AC values almost never exceed that at any quality) + the
+  per-8x8 DC values as int16 (they routinely do) + an AC-overflow count.
+  If the count is nonzero the host refetches the exact int16 planes
+  (separate, normally-untouched jit outputs cost nothing to keep).
+- decoder input: the parsed block table packed the same way, plus the
+  nonzero residual coefficients as a COO list (positions into the
+  concatenated Y|U|V plane space); a frame's nonzeros track the bitrate
+  (~tens of KB) vs 6.3 MB of dense int16 planes.
+- decoder output wire: the reconstruction as 9-bit YUV (biased low byte +
+  packed high-bit plane; legal Y values reach 271 = 255+16 and transform
+  ringing overshoots both ends) plus an exception list for values outside
+  [-BIAS, 512-BIAS). The host converts YUV->RGB in native code.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+EXC_K = 4096          # yuv wire exception capacity (values outside 9 bits)
+BIAS = 32             # yuv wire bias: stored = value + BIAS in [0, 512)
+COO_K = 1 << 17       # decoder residual COO capacity (pow-2 keeps 1 compile)
+
+
+def _u8(x16):
+    """int16/int32 array -> flat uint8 little-endian byte stream."""
+    return jax.lax.bitcast_convert_type(x16, jnp.uint8).reshape(-1)
+
+
+def _pack_bits(flat_bits):
+    """(8k,) 0/1 int32 -> (k,) uint8, LSB-first within each byte."""
+    b = flat_bits.reshape(-1, 8).astype(jnp.int32)
+    w = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+    return (b @ w).astype(jnp.uint8)
+
+
+# --------------------------------------------------------------------------
+# encoder output wire
+
+def pack_encode_wire(table, coef_y, coef_u, coef_v):
+    """Device side. table: dict of (N,) arrays; coef planes int16-valued.
+    Returns one uint8 wire (layout mirrored by unpack_encode_wire)."""
+    n = table["block_type"].shape[0]
+    del n
+    parts = [
+        _u8(table["motion_x"].astype(jnp.int16)),
+        _u8(table["motion_y"].astype(jnp.int16)),
+        _u8(table["variance"].astype(jnp.int16)),
+        table["block_type"].astype(jnp.uint8),
+        table["prediction_target"].astype(jnp.uint8),
+        table["sp_pred"].astype(jnp.uint8),
+        table["sp_amount"].astype(jnp.uint8),
+        table["sp_index"].astype(jnp.uint8),
+        table["q_index"].astype(jnp.uint8),
+    ]
+    overflow = jnp.zeros((), jnp.int32)
+    for p in (coef_y, coef_u, coef_v):
+        v = p.astype(jnp.int32)
+        parts.append(jax.lax.bitcast_convert_type(
+            jnp.clip(v, -128, 127).astype(jnp.int8), jnp.uint8).reshape(-1))
+        h, w = v.shape
+        ac_mask = ((jnp.arange(h) % 8 != 0)[:, None]
+                   | (jnp.arange(w) % 8 != 0)[None, :])
+        overflow = overflow + jnp.sum(
+            ac_mask & ((v < -128) | (v > 127)), dtype=jnp.int32)
+    for p in (coef_y, coef_u, coef_v):
+        parts.append(_u8(p[0::8, 0::8].astype(jnp.int16)))
+    parts.append(_u8(overflow[None]))
+    return jnp.concatenate(parts)
+
+
+def unpack_encode_wire(buf, n, ah, aw):
+    """Host side (numpy). Returns (table dict, coef_y, coef_u, coef_v,
+    ac_overflow). Coef planes are exact iff ac_overflow == 0."""
+    buf = np.asarray(buf)
+    o = 0
+
+    def take(count, dtype):
+        nonlocal o
+        nbytes = count * np.dtype(dtype).itemsize
+        out = buf[o:o + nbytes].view(dtype)
+        o += nbytes
+        return out
+
+    table = dict(
+        motion_x=take(n, np.int16), motion_y=take(n, np.int16),
+        variance=take(n, np.int16), block_type=take(n, np.uint8),
+        prediction_target=take(n, np.uint8),
+        sp_pred=take(n, np.uint8).astype(bool),
+        sp_amount=take(n, np.uint8).astype(bool),
+        sp_index=take(n, np.uint8), q_index=take(n, np.uint8))
+    planes = []
+    for (h, w) in ((ah, aw), (ah // 2, aw // 2), (ah // 2, aw // 2)):
+        planes.append(take(h * w, np.int8).reshape(h, w).astype(np.int16))
+    for p in planes:
+        h, w = p.shape
+        p[0::8, 0::8] = take((h // 8) * (w // 8), np.int16).reshape(
+            h // 8, w // 8)
+    overflow = int(take(1, np.int32)[0])
+    return table, planes[0], planes[1], planes[2], overflow
+
+
+# --------------------------------------------------------------------------
+# decoder input: packed block table + residual COO
+
+def pack_table_np(bt):
+    """Host side: BlockTable -> one uint8 buffer (10N bytes)."""
+    return np.concatenate([
+        np.ascontiguousarray(bt.motion_x, np.int16).view(np.uint8),
+        np.ascontiguousarray(bt.motion_y, np.int16).view(np.uint8),
+        np.ascontiguousarray(bt.block_type, np.uint8),
+        np.ascontiguousarray(bt.prediction_target, np.uint8),
+        bt.sp_pred.astype(np.uint8), bt.sp_amount.astype(np.uint8),
+        np.ascontiguousarray(bt.sp_index, np.uint8),
+        np.ascontiguousarray(bt.q_index, np.uint8)])
+
+
+def unpack_table_wire(buf, n):
+    """Device side: uint8 (10N,) -> dict of (N,) arrays."""
+    def i16(off):
+        return jax.lax.bitcast_convert_type(
+            buf[off:off + 2 * n].reshape(n, 2), jnp.int16)
+
+    return dict(
+        motion_x=i16(0), motion_y=i16(2 * n),
+        block_type=buf[4 * n:5 * n],
+        prediction_target=buf[5 * n:6 * n],
+        sp_pred=buf[6 * n:7 * n].astype(bool),
+        sp_amount=buf[7 * n:8 * n].astype(bool),
+        sp_index=buf[8 * n:9 * n],
+        q_index=buf[9 * n:10 * n])
+
+
+# --------------------------------------------------------------------------
+# decoder output wire: 9-bit YUV + exceptions
+
+def pack_yuv_wire(y, u, v):
+    """Device side. y/u/v: int32 reconstruction planes (aligned dims).
+    Returns one uint8 wire; see module docstring for the layout."""
+    flats = [p.reshape(-1) for p in (y, u, v)]
+    cat = jnp.concatenate(flats)
+    biased = cat + BIAS
+    clipped = jnp.clip(biased, 0, 511)
+    lo = (clipped & 0xFF).astype(jnp.uint8)
+    hi = _pack_bits((clipped >> 8) & 1)
+    mask = (biased < 0) | (biased > 511)
+    count = jnp.sum(mask, dtype=jnp.int32)
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    wpos = jnp.where(mask, rank, EXC_K)
+    exc_pos = jnp.zeros(EXC_K, jnp.int32).at[wpos].set(
+        jnp.arange(cat.shape[0], dtype=jnp.int32), mode="drop")
+    exc_val = jnp.zeros(EXC_K, jnp.int16).at[wpos].set(
+        cat.astype(jnp.int16), mode="drop")
+    return jnp.concatenate([
+        lo, hi, _u8(count[None]), _u8(exc_pos), _u8(exc_val)])
+
+
+def yuv_wire_nbytes(ah, aw):
+    total = ah * aw + 2 * (ah // 2) * (aw // 2)
+    return total + total // 8 + 4 + 6 * EXC_K
+
+
+def unpack_yuv_wire_np(buf, ah, aw):
+    """Host-side reference unpack (numpy; production uses the native C++
+    converter). Returns (y, u, v int16 planes, exc_count)."""
+    buf = np.asarray(buf)
+    total = ah * aw + 2 * (ah // 2) * (aw // 2)
+    lo = buf[:total].astype(np.int32)
+    hi_bytes = buf[total:total + total // 8]
+    hi = np.unpackbits(hi_bytes, bitorder="little").astype(np.int32)
+    o = total + total // 8
+    count = int(buf[o:o + 4].view(np.int32)[0])
+    exc_pos = buf[o + 4:o + 4 + 4 * EXC_K].view(np.int32)
+    exc_val = buf[o + 4 + 4 * EXC_K:o + 4 + 6 * EXC_K].view(np.int16)
+    vals = lo + (hi << 8) - BIAS
+    if count > 0:
+        k = min(count, EXC_K)
+        vals[exc_pos[:k]] = exc_val[:k]
+    y = vals[:ah * aw].reshape(ah, aw).astype(np.int16)
+    cs = (ah // 2) * (aw // 2)
+    u = vals[ah * aw:ah * aw + cs].reshape(ah // 2, aw // 2).astype(np.int16)
+    v = vals[ah * aw + cs:].reshape(ah // 2, aw // 2).astype(np.int16)
+    return y, u, v, count
