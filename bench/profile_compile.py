@@ -39,16 +39,16 @@ def main():
     pieces = sys.argv[1:] or ["search", "subpel", "deblock", "decode",
                               "encode"]
 
+    from cairo_tpu.tpu import wire as wire_mod
+
     state = jax.eval_shape(lambda: engine.init_state(aw, ah))
-    rgb = jax.ShapeDtypeStruct((height, width, 3), jnp.uint8)
+    src = jax.ShapeDtypeStruct((wire_mod.yuv9_nbytes(ah, aw),), jnp.uint8)
 
     if "encode" in pieces:
         t("encode", lambda: jax.jit(
             engine.encode_step.__wrapped__,
-            static_argnames=("width", "height", "aligned_w", "aligned_h",
-                             "is_inter")).lower(
-            rgb, state, 1, 16, width=width, height=height, aligned_w=aw,
-            aligned_h=ah, is_inter=True))
+            static_argnames=("aligned_w", "aligned_h", "is_inter")).lower(
+            src, state, 1, 16, aligned_w=aw, aligned_h=ah, is_inter=True))
 
     if "decode" in pieces:
         table = dict(

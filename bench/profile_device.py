@@ -22,8 +22,9 @@ def main():
     n = (aw // 16) * (ah // 16)
     rng = np.random.default_rng(0)
 
-    rgb = jax.device_put(rng.integers(0, 255, (height, width, 3), np.uint8)
-                         .astype(np.uint8))
+    from cairo_tpu.tpu import wire
+    src = jax.device_put(rng.integers(0, 255, wire.yuv9_nbytes(ah, aw),
+                                      np.uint8).astype(np.uint8))
     state = engine.init_state(aw, ah)
     state = jax.tree.map(lambda x: x + 0, state)  # materialize
     jax.block_until_ready(state)
@@ -31,16 +32,16 @@ def main():
     for is_inter in (False, True):
         t0 = time.perf_counter()
         new_state, out = engine.encode_step(
-            rgb, state, 1, 16, width=width, height=height, aligned_w=aw,
-            aligned_h=ah, is_inter=is_inter)
+            src, state, 1, 16, aligned_w=aw, aligned_h=ah,
+            is_inter=is_inter)
         jax.block_until_ready(out)
         t1 = time.perf_counter()
         reps = 5
         t0 = time.perf_counter()
         for i in range(reps):
             new_state, out = engine.encode_step(
-                rgb, new_state, 1 + i, 16, width=width, height=height,
-                aligned_w=aw, aligned_h=ah, is_inter=is_inter)
+                src, new_state, 1 + i, 16, aligned_w=aw, aligned_h=ah,
+                is_inter=is_inter)
         jax.block_until_ready(out)
         t1 = time.perf_counter()
         print(f"encode_step is_inter={is_inter}: {(t1-t0)/reps*1e3:.1f} ms")

@@ -51,6 +51,8 @@ def lib():
                                        i32, i16, ctypes.c_longlong]
         L.evxn_yuv_wire_to_rgb.restype = ctypes.c_longlong
         L.evxn_yuv_wire_to_rgb.argtypes = [u8, u, u, u, u, u, u8]
+        L.evxn_rgb_to_yuv9.restype = ctypes.c_longlong
+        L.evxn_rgb_to_yuv9.argtypes = [u8, u, u, u, u, u8]
         _lib = L
     return _lib
 
@@ -142,6 +144,17 @@ def extract_coo(block_type: np.ndarray, wb: int, y: np.ndarray,
         _p8(bt8), n, wb, _p16(y), _p16(u), _p16(v), width, height,
         pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), _p16(val), cap)
     return pos, val, int(count)
+
+
+def rgb_to_yuv9(rgb: np.ndarray, aw: int, ah: int) -> np.ndarray:
+    """Converts an (H, W, 3) uint8 frame to the 9-bit YUV source wire
+    (tpu/wire.py layout) over the aligned (ah, aw) grid."""
+    height, width = rgb.shape[:2]
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    total = ah * aw + 2 * (ah // 2) * (aw // 2)
+    out = np.empty(total + total // 8, np.uint8)
+    lib().evxn_rgb_to_yuv9(_p8(rgb), width, height, aw, ah, _p8(out))
+    return out
 
 
 def yuv_wire_to_rgb(wire: np.ndarray, aw: int, ah: int, width: int,

@@ -86,6 +86,11 @@ class TpuEncoder:
             self.width, self.height = width, height
             self._aw, self._ah = _align(width), _align(height)
             self._state = engine.init_state(self._aw, self._ah)
+            # host mirror of the device-persistent coefficient planes
+            # (carries stale copy-block DCs for the serializer's DC chains)
+            self._coef_y = np.zeros((self._ah, self._aw), np.int16)
+            self._coef_u = np.zeros((self._ah // 2, self._aw // 2), np.int16)
+            self._coef_v = np.zeros((self._ah // 2, self._aw // 2), np.int16)
             header = pack_header(width, height)
         if (width, height) != (self.width, self.height):
             raise ValueError("frame dimensions changed mid-stream")
@@ -98,11 +103,13 @@ class TpuEncoder:
         header = self._begin_frame(rgb)
         frame_desc = struct.pack(_FRAME_FMT, self.frame_type,
                                  self.frame_index, self.quality)
+        with jax.profiler.TraceAnnotation("cairo_tpu.rgb_to_yuv9"):
+            src_wire = native.rgb_to_yuv9(rgb, self._aw, self._ah)
         with jax.profiler.TraceAnnotation("cairo_tpu.encode_step"):
             self._state, out = engine.encode_step(
-                rgb, self._state, self.frame_index, self.quality,
-                width=self.width, height=self.height, aligned_w=self._aw,
-                aligned_h=self._ah, is_inter=self.frame_type == FRAME_INTER)
+                src_wire, self._state, self.frame_index, self.quality,
+                aligned_w=self._aw, aligned_h=self._ah,
+                is_inter=self.frame_type == FRAME_INTER)
         out["wire"].copy_to_host_async()  # start the D2H as compute finishes
         pending = dict(header=header, frame_desc=frame_desc, out=out,
                        frame_index=self.frame_index,
@@ -122,23 +129,26 @@ class TpuEncoder:
         buf = np.asarray(pending["out"]["wire"])
         t_dev = time.perf_counter()
         n = (self._aw // MB) * (self._ah // MB)
-        out, cy, cu, cv, overflow = wire_mod.unpack_encode_wire(
-            buf, n, self._ah, self._aw)
-        if overflow:
-            cy = np.asarray(pending["out"]["coef_y"])
-            cu = np.asarray(pending["out"]["coef_u"])
-            cv = np.asarray(pending["out"]["coef_v"])
+        out, count, pos, val = wire_mod.unpack_encode_wire(buf, n)
+        copy = (out["block_type"].astype(np.int32) & COPY_BIT) != 0
+        if count <= wire_mod.COO_K:
+            wire_mod.apply_coo_np(self._coef_y, self._coef_u, self._coef_v,
+                                  copy, count, pos, val)
+        else:  # COO overflow: take the exact planes (rare, heavy content)
+            np.copyto(self._coef_y, np.asarray(pending["out"]["coef_y"]))
+            np.copyto(self._coef_u, np.asarray(pending["out"]["coef_u"]))
+            np.copyto(self._coef_v, np.asarray(pending["out"]["coef_v"]))
+        cy, cu, cv = self._coef_y, self._coef_u, self._coef_v
         if pending["frame_index"] == 0:
             # one-time wire self-check (guards device bitcast byte order)
             direct = jax.device_get(pending["out"])
             assert np.array_equal(out["block_type"], direct["block_type"])
             assert np.array_equal(out["variance"], direct["variance"])
-            assert overflow or np.array_equal(cy, direct["coef_y"])
+            assert np.array_equal(cy, direct["coef_y"])
         # copy blocks keep the table's previous q_index/variance (the
         # reference's clear_block_desc quirk, common.cpp:67-73); peek-only —
         # neither field is serialized for copy blocks
         out = dict(out)
-        copy = (out["block_type"].astype(np.int32) & COPY_BIT) != 0
         if self._stale_q is not None:
             out["q_index"] = np.where(copy, self._stale_q, out["q_index"])
             out["variance"] = np.where(copy, self._stale_var, out["variance"])
@@ -251,6 +261,9 @@ class TpuEncoder:
             self.width, self.height = meta["width"], meta["height"]
             self._aw, self._ah = _align(self.width), _align(self.height)
             self._state = _state_from_arrays(arrays)
+            self._coef_y = np.array(arrays["coef_y"], np.int16)
+            self._coef_u = np.array(arrays["coef_u"], np.int16)
+            self._coef_v = np.array(arrays["coef_v"], np.int16)
 
 
 class TpuDecoder:
@@ -305,10 +318,12 @@ class TpuDecoder:
             self._bt.block_type, self._aw // MB, self._coef_y, self._coef_u,
             self._coef_v, wire_mod.COO_K)
         if count <= wire_mod.COO_K:
-            table_wire = wire_mod.pack_table_np(self._bt)
+            in_wire = np.concatenate([
+                pos.view(np.uint8), val.view(np.uint8),
+                wire_mod.pack_table_np(self._bt)])
             with jax.profiler.TraceAnnotation("cairo_tpu.decode_step"):
                 self._state, yuv = engine.decode_step_coo(
-                    table_wire, pos, val, self._state, index,
+                    in_wire, self._state, index,
                     aligned_w=self._aw, aligned_h=self._ah)
             yuv.copy_to_host_async()
             return dict(kind="wire", yuv=yuv, index=index,

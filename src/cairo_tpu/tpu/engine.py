@@ -126,25 +126,18 @@ def _classify_inter(src, src_planes, ring, state_wins, px, py, quality,
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "aligned_w",
-                                             "aligned_h", "is_inter"),
+@functools.partial(jax.jit, static_argnames=("aligned_w", "aligned_h",
+                                             "is_inter"),
                    donate_argnums=(1,))
-def encode_step(rgb, state, frame_index, quality, *, width, height,
-                aligned_w, aligned_h, is_inter):
-    """One frame through the device pipeline. Returns (new_state, outputs)."""
+def encode_step(src_wire, state, frame_index, quality, *, aligned_w,
+                aligned_h, is_inter):
+    """One frame through the device pipeline. The input is the 9-bit YUV
+    source wire (host-converted, frame-edge masking already applied — see
+    native.rgb_to_yuv9). Returns (new_state, outputs)."""
     px, py, wb, hb = _mb_coords(aligned_w, aligned_h)
     n = wb * hb
 
-    # --- color conversion into the padded input (pad region stays zero)
-    pad_rgb = jnp.zeros((aligned_h, aligned_w, 3), jnp.uint8)
-    pad_rgb = pad_rgb.at[:height, :width].set(rgb)
-    y_full, u_full, v_full = ops.rgb_to_yuv420(pad_rgb)
-    ymask = (jnp.arange(aligned_h)[:, None] < height) & \
-            (jnp.arange(aligned_w)[None, :] < width)
-    cmask = ymask[::2, ::2]
-    y_in = jnp.where(ymask, y_full, 0)
-    u_in = jnp.where(cmask, u_full, 0)
-    v_in = jnp.where(cmask, v_full, 0)
+    y_in, u_in, v_in = wire_mod.unpack_yuv9(src_wire, aligned_h, aligned_w)
 
     src = (ops.plane_to_blocks(y_in, MB),
            ops.plane_to_blocks(u_in, MB // 2),
@@ -275,9 +268,9 @@ def encode_step(rgb, state, frame_index, quality, *, width, height,
         coef_y=coef_y, coef_u=coef_u, coef_v=coef_v,
     )
     # single packed host transfer; the full-size fields above stay on device
-    # unless the host needs them (AC overflow, debug)
+    # unless the host needs them (COO overflow, debug)
     outputs["wire"] = wire_mod.pack_encode_wire(outputs, coef_y, coef_u,
-                                                coef_v)
+                                                coef_v, copy_mb)
     return new_state, outputs
 
 
@@ -377,15 +370,19 @@ def decode_step(table, coef, state, frame_index, *, width, height,
 
 
 @functools.partial(jax.jit, static_argnames=("aligned_w", "aligned_h"),
-                   donate_argnums=(3,))
-def decode_step_coo(table_wire, coo_pos, coo_val, state, frame_index, *,
-                    aligned_w, aligned_h):
-    """Transfer-optimized decode: packed table + residual COO in, 9-bit YUV
-    wire out (see tpu.wire). Coefficient planes persist in device state;
-    copy blocks keep their stale residuals, non-copy blocks are rebuilt from
-    the COO list."""
+                   donate_argnums=(1,))
+def decode_step_coo(in_wire, state, frame_index, *, aligned_w, aligned_h):
+    """Transfer-optimized decode: one packed upload (residual COO + block
+    table), 9-bit YUV wire out (see tpu.wire). Coefficient planes persist
+    in device state; copy blocks keep their stale residuals, non-copy
+    blocks are rebuilt from the COO list."""
     n = (aligned_w // MB) * (aligned_h // MB)
-    table = wire_mod.unpack_table_wire(table_wire, n)
+    k = wire_mod.COO_K
+    coo_pos = jax.lax.bitcast_convert_type(
+        in_wire[:4 * k].reshape(k, 4), jnp.int32)
+    coo_val = jax.lax.bitcast_convert_type(
+        in_wire[4 * k:6 * k].reshape(k, 2), jnp.int16)
+    table = wire_mod.unpack_table_wire(in_wire[6 * k:], n)
     is_copy = (table["block_type"].astype(jnp.int32) & COPY_BIT) != 0
 
     ys = aligned_h * aligned_w

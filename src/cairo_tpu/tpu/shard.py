@@ -68,10 +68,11 @@ def _classify_tile(src, src_planes, ring, px, py, quality, frame_index,
         sp_pred=jnp.zeros(n, bool), sp_amount=jnp.zeros(n, bool),
         sp_index=jnp.zeros(n, jnp.int32))
     ry, ru, rv = ring
-    for offset in range(1, RING):
+
+    def body(best, offset):
         slot = (frame_index + RING - offset) % RING
-        ref = (ry[slot].astype(jnp.int32), ru[slot].astype(jnp.int32),
-               rv[slot].astype(jnp.int32))
+        ref = tuple(jax.lax.dynamic_index_in_dim(p, slot, keepdims=False)
+                    .astype(jnp.int32) for p in (ry, ru, rv))
         wins = motion_mod.pred_windows(ref, halo=HALO)
         cand = motion_mod.inter_search(src, src_planes, ref, wins, px, py,
                                        quality, x0=x0, full_width=full_width,
@@ -79,30 +80,39 @@ def _classify_tile(src, src_planes, ring, px, py, quality, frame_index,
         take_on_copy = cand["is_copy"] != best["is_copy"]
         take = jnp.where(take_on_copy, cand["is_copy"],
                          cand["sad"] < best["sad"])
+        new = dict(best)
         for key in ("sad", "is_copy", "is_motion", "motion_x", "motion_y",
                     "sp_pred", "sp_amount", "sp_index"):
-            best[key] = jnp.where(take, cand[key], best[key])
-        best["is_intra"] = jnp.where(take, False, best["is_intra"])
-        best["target"] = jnp.where(take, offset, best["target"])
+            new[key] = jnp.where(take, cand[key], best[key])
+        new["is_intra"] = jnp.where(take, False, best["is_intra"])
+        new["target"] = jnp.where(take, offset, best["target"])
+        return new, None
+
+    best, _ = jax.lax.scan(body, best, jnp.arange(1, RING, dtype=jnp.int32))
     return best
 
 
 def _pred_for_tile(ring, frame_index, best):
-    preds = None
-    for offset in range(RING):
+    n = best["motion_x"].shape[0]
+    init = (jnp.zeros((n, MB, MB), jnp.int32),
+            jnp.zeros((n, MB // 2, MB // 2), jnp.int32),
+            jnp.zeros((n, MB // 2, MB // 2), jnp.int32))
+
+    def body(preds, offset):
         slot = (frame_index + RING - offset) % RING
-        planes = (ring[0][slot].astype(jnp.int32),
-                  ring[1][slot].astype(jnp.int32),
-                  ring[2][slot].astype(jnp.int32))
+        planes = tuple(
+            jax.lax.dynamic_index_in_dim(p, slot, keepdims=False)
+            .astype(jnp.int32) for p in ring)
         wins = motion_mod.pred_windows(planes, halo=HALO)
         blocks = motion_mod.pred_block_from_windows(
             wins, best["motion_x"], best["motion_y"], best["sp_pred"],
             best["sp_amount"], best["sp_index"].astype(jnp.int32))
         pick = (best["target"] == offset)[:, None, None]
-        if preds is None:
-            preds = tuple(jnp.where(pick, b, 0) for b in blocks)
-        else:
-            preds = tuple(jnp.where(pick, b, p) for b, p in zip(blocks, preds))
+        return tuple(jnp.where(pick, b, p)
+                     for b, p in zip(blocks, preds)), None
+
+    preds, _ = jax.lax.scan(body, init,
+                            jnp.arange(RING, dtype=jnp.int32))
     return preds
 
 
@@ -320,7 +330,7 @@ def make_mesh(n_gop: int, n_tile: int, devices=None):
 def sharded_encode_step(mesh, *, tile_w, aligned_h, full_width, is_inter,
                         frame_w=None, frame_h=None):
     """Builds the jitted shard_map'd encode step over (gop, tile)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def per_device(rgb, state, frame_index, quality):
         # blocks arrive with the sharded (gop, tile) axes of size 1
@@ -337,13 +347,13 @@ def sharded_encode_step(mesh, *, tile_w, aligned_h, full_width, is_inter,
         per_device, mesh=mesh,
         in_specs=(P("gop", None, "tile", None), P("gop", "tile"), None, None),
         out_specs=(P("gop", "tile"), P("gop", "tile")),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(fn)
 
 
 def sharded_decode_step(mesh, *, tile_w, aligned_h):
     """Builds the jitted shard_map'd decode step over (gop, tile)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def per_device(table, coef, state, frame_index):
         local_state = jax.tree.map(lambda x: x[0, 0], state)
@@ -359,5 +369,5 @@ def sharded_decode_step(mesh, *, tile_w, aligned_h):
         per_device, mesh=mesh,
         in_specs=(P("gop", "tile"), P("gop", "tile"), P("gop", "tile"), None),
         out_specs=(P("gop", "tile"), P("gop", None, "tile", None)),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(fn)

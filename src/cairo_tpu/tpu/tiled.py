@@ -1,0 +1,274 @@
+"""Multi-chip tiled bitstream: container + host orchestration.
+
+Implements the `tiled_stream` extension of docs/SHARDING.md:
+
+    tiled_stream := tiled_header u16 tile_count (u16 tile_width_mbs)* frame*
+    frame        := frame_desc (u32 tile_bytes tile_slice)*
+
+The tiled_header is the 14-byte evx1 header layout (common.h:53-62) with
+magic "EVXT" so plain-stream decoders reject it cleanly. Each tile_slice is
+a standard evx1 slice (its own ABAC coder, block table, MV/QP/DC-delta
+chains) over one column of macroblocks; motion vectors are tile-relative
+and may reach up to search-radius+1 px into the neighbor tile (the halo
+protocol, tpu/shard.py). Deblocking is tile-local, so decoded pixels are
+defined per tiling; encoder and decoder agree exactly for a given tiling.
+
+TiledEncoder/TiledDecoder run the shard_map'd per-tile device pipeline over
+a ("gop", "tile") mesh and stitch/split the per-tile slices on the host
+with the native entropy codec. The gop axis carries independent GOPs
+(data parallelism): encode_batch() encodes one frame for each GOP per call
+and emits one independent tiled stream per GOP.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import native, tables
+from ..blocktypes import (BlockTable, COPY_BIT, FRAME_INTER, FRAME_INTRA,
+                          INTRA_BIT, MOTION_BIT)
+from ..cpuref import imaging as cpu_imaging
+from ..cpuref.api import FRAME_DESC_SIZE, HEADER_SIZE, _FRAME_FMT
+from ..xmath import clip_range
+from . import shard
+
+MB = tables.MACROBLOCK_SIZE
+_TILED_HEADER_FMT = "<4sHBxHHH"  # magic, size, ref_count, version, w, h
+
+
+def pack_tiled_header(width: int, height: int, tile_widths_mbs) -> bytes:
+    head = struct.pack(_TILED_HEADER_FMT, b"EVXT", HEADER_SIZE,
+                       tables.REFERENCE_FRAME_COUNT, tables.VERSION_WORD,
+                       width, height)
+    body = struct.pack("<H", len(tile_widths_mbs))
+    body += b"".join(struct.pack("<H", t) for t in tile_widths_mbs)
+    return head + body
+
+
+def parse_tiled_header(data: bytes):
+    magic, size, ref_count, version, width, height = struct.unpack(
+        _TILED_HEADER_FMT, data[:HEADER_SIZE])
+    if magic != b"EVXT" or size != HEADER_SIZE or \
+            ref_count != tables.REFERENCE_FRAME_COUNT or \
+            version != tables.VERSION_WORD:
+        raise ValueError("invalid tiled evx1 header")
+    (tile_count,) = struct.unpack_from("<H", data, HEADER_SIZE)
+    tiles = [struct.unpack_from("<H", data, HEADER_SIZE + 2 + 2 * i)[0]
+             for i in range(tile_count)]
+    return width, height, tiles, HEADER_SIZE + 2 + 2 * tile_count
+
+
+def _align_to(v: int, mult: int) -> int:
+    return (v + mult - 1) // mult * mult
+
+
+class TiledEncoder:
+    """Spatially-tiled encoder over a ("gop", "tile") device mesh."""
+
+    def __init__(self, n_tiles: int, n_gops: int = 1, devices=None):
+        if n_tiles < 1 or n_gops < 1:
+            raise ValueError("n_tiles and n_gops must be >= 1")
+        self.n_tiles = n_tiles
+        self.n_gops = n_gops
+        self._devices = devices
+        self._state = None
+        self._steps = {}
+        self._stale_q = None
+        self._stale_var = None
+        self.frame_type = FRAME_INTRA
+        self.frame_index = 0
+        self.quality = tables.DEFAULT_QUALITY
+        self.width = self.height = 0
+
+    def set_quality(self, quality: int):
+        self.quality = int(clip_range(quality, 1, 31))
+
+    def insert_intra(self):
+        self.frame_type = FRAME_INTRA
+
+    def _init(self, width: int, height: int):
+        self.width, self.height = width, height
+        self._aw = _align_to(width, self.n_tiles * MB)
+        self._ah = _align_to(height, MB)
+        self.tile_w = self._aw // self.n_tiles
+        self._mesh = shard.make_mesh(self.n_gops, self.n_tiles,
+                                     self._devices)
+        tile_state = shard.init_tile_state(self.tile_w, self._ah)
+        self._state = jax.tree.map(
+            lambda x: jnp.broadcast_to(
+                x[None, None], (self.n_gops, self.n_tiles) + x.shape),
+            tile_state)
+        n_tile_mbs = (self.tile_w // MB) * (self._ah // MB)
+        self._ntm = n_tile_mbs
+
+    def _step(self, is_inter: bool):
+        if is_inter not in self._steps:
+            self._steps[is_inter] = shard.sharded_encode_step(
+                self._mesh, tile_w=self.tile_w, aligned_h=self._ah,
+                full_width=self._aw, is_inter=is_inter,
+                frame_w=self.width, frame_h=self.height)
+        return self._steps[is_inter]
+
+    def encode(self, rgb: np.ndarray) -> bytes:
+        if self.n_gops != 1:
+            raise ValueError("use encode_batch with n_gops > 1")
+        return self.encode_batch([rgb])[0]
+
+    def encode_batch(self, rgbs) -> list[bytes]:
+        """Encodes one frame per GOP (len(rgbs) == n_gops); returns one
+        tiled-stream byte chunk per GOP."""
+        if len(rgbs) != self.n_gops:
+            raise ValueError("need one frame per GOP")
+        height, width = rgbs[0].shape[:2]
+        first = self._state is None
+        if first:
+            self._init(width, height)
+        if (width, height) != (self.width, self.height):
+            raise ValueError("frame dimensions changed mid-stream")
+
+        batch = np.zeros((self.n_gops, self._ah, self._aw, 3), np.uint8)
+        for g, rgb in enumerate(rgbs):
+            batch[g, :height, :width] = rgb
+
+        step = self._step(self.frame_type == FRAME_INTER)
+        with self._mesh:
+            self._state, out = step(batch, self._state, self.frame_index,
+                                    self.quality)
+        out = jax.device_get(out)
+
+        # stale q_index/variance persistence per (gop, tile) — peek parity
+        # with the reference's clear_block_desc quirk (common.cpp:67-73)
+        copy = (out["block_type"].astype(np.int32) & COPY_BIT) != 0
+        if self._stale_q is not None:
+            out["q_index"] = np.where(copy, self._stale_q, out["q_index"])
+            out["variance"] = np.where(copy, self._stale_var, out["variance"])
+        self._stale_q = out["q_index"]
+        self._stale_var = out["variance"]
+
+        frame_desc = struct.pack(_FRAME_FMT, self.frame_type,
+                                 self.frame_index, self.quality)
+        tile_mbs = [self.tile_w // MB] * self.n_tiles
+        chunks = []
+        for g in range(self.n_gops):
+            parts = []
+            if first:
+                parts.append(pack_tiled_header(width, height, tile_mbs))
+            parts.append(frame_desc)
+            for t in range(self.n_tiles):
+                bt = BlockTable(
+                    block_type=out["block_type"][g, t],
+                    prediction_target=out["prediction_target"][g, t],
+                    motion_x=out["motion_x"][g, t],
+                    motion_y=out["motion_y"][g, t],
+                    sp_pred=out["sp_pred"][g, t],
+                    sp_amount=out["sp_amount"][g, t],
+                    sp_index=out["sp_index"][g, t],
+                    q_index=out["q_index"][g, t],
+                    variance=out["variance"][g, t])
+                payload, _ = native.encode_slice(
+                    bt, out["coef_y"][g, t], out["coef_u"][g, t],
+                    out["coef_v"][g, t])
+                parts.append(struct.pack("<I", len(payload)))
+                parts.append(payload)
+            chunks.append(b"".join(parts))
+
+        self.frame_type = FRAME_INTER
+        if tables.PERIODIC_INTRA_RATE and \
+                (self.frame_index + 1) % tables.PERIODIC_INTRA_RATE == 0:
+            self.insert_intra()
+        self.frame_index += 1
+        return chunks
+
+    def recon_rgb(self, gop: int = 0) -> np.ndarray:
+        """Stitched reconstruction of the last encoded frame (debug/tests:
+        a conforming decoder must reproduce this exactly)."""
+        slot = (self.frame_index - 1) % tables.REFERENCE_FRAME_COUNT
+        planes = []
+        for key, halo in (("ring_y", shard.HALO), ("ring_u", shard.CHALO),
+                          ("ring_v", shard.CHALO)):
+            arr = np.asarray(jax.device_get(self._state[key]))[gop, :, slot]
+            core = arr[:, :, halo:arr.shape[2] - halo]
+            planes.append(np.concatenate(list(core), axis=1))
+        return cpu_imaging.yuv420_to_rgb(planes[0], planes[1], planes[2],
+                                         self.width, self.height)
+
+
+class TiledDecoder:
+    """Decoder for tiled_stream chunks (one GOP per decoder instance)."""
+
+    def __init__(self, devices=None):
+        self._devices = devices
+        self._state = None
+        self.frame_index = 0
+        self.width = self.height = 0
+
+    def _init(self, width, height, tile_mbs):
+        self.width, self.height = width, height
+        self.tile_widths = [t * MB for t in tile_mbs]
+        if len(set(self.tile_widths)) != 1:
+            raise ValueError("variable tile widths not supported")
+        self.n_tiles = len(tile_mbs)
+        self.tile_w = self.tile_widths[0]
+        self._aw = self.tile_w * self.n_tiles
+        self._ah = _align_to(height, MB)
+        self._mesh = shard.make_mesh(1, self.n_tiles, self._devices)
+        tile_state = shard.init_tile_state(self.tile_w, self._ah)
+        self._state = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None, None],
+                                       (1, self.n_tiles) + x.shape),
+            tile_state)
+        self._step = shard.sharded_decode_step(
+            self._mesh, tile_w=self.tile_w, aligned_h=self._ah)
+        n = (self.tile_w // MB) * (self._ah // MB)
+        self._bt = [BlockTable.zeros(n) for _ in range(self.n_tiles)]
+        self._coef = [
+            (np.zeros((self._ah, self.tile_w), np.int16),
+             np.zeros((self._ah // 2, self.tile_w // 2), np.int16),
+             np.zeros((self._ah // 2, self.tile_w // 2), np.int16))
+            for _ in range(self.n_tiles)]
+
+    def decode(self, chunk: bytes) -> np.ndarray:
+        offset = 0
+        if self._state is None:
+            width, height, tile_mbs, offset = parse_tiled_header(chunk)
+            self._init(width, height, tile_mbs)
+        ftype, index, quality = struct.unpack_from(_FRAME_FMT, chunk, offset)
+        if index != self.frame_index:
+            raise ValueError("out-of-order frame")
+        offset += FRAME_DESC_SIZE
+
+        for t in range(self.n_tiles):
+            (nbytes,) = struct.unpack_from("<I", chunk, offset)
+            offset += 4
+            payload = chunk[offset:offset + nbytes]
+            offset += nbytes
+            y, u, v = self._coef[t]
+            native.decode_slice(payload, 0, self._bt[t], y, u, v)
+            bt = self._bt[t]
+            if np.any((bt.block_type & INTRA_BIT).astype(bool)
+                      & (bt.block_type & MOTION_BIT).astype(bool)):
+                raise ValueError("tiled streams are fast-mode only "
+                                 "(no intra-motion blocks)")
+
+        table = {
+            k: np.stack([getattr(self._bt[t], k)
+                         for t in range(self.n_tiles)])[None]
+            for k in ("block_type", "prediction_target", "motion_x",
+                      "motion_y", "sp_pred", "sp_amount", "sp_index",
+                      "q_index")}
+        coef = dict(
+            coef_y=np.stack([self._coef[t][0]
+                             for t in range(self.n_tiles)])[None],
+            coef_u=np.stack([self._coef[t][1]
+                             for t in range(self.n_tiles)])[None],
+            coef_v=np.stack([self._coef[t][2]
+                             for t in range(self.n_tiles)])[None])
+        with self._mesh:
+            self._state, rgb = self._step(table, coef, self._state, index)
+        rgb = np.asarray(jax.device_get(rgb))[0]
+        self.frame_index += 1
+        return rgb[:self.height, :self.width]

@@ -46,13 +46,14 @@ def _pack_bits(flat_bits):
 
 
 # --------------------------------------------------------------------------
-# encoder output wire
+# encoder output wire: block table + residual COO
 
-def pack_encode_wire(table, coef_y, coef_u, coef_v):
-    """Device side. table: dict of (N,) arrays; coef planes int16-valued.
+def pack_encode_wire(table, coef_y, coef_u, coef_v, copy_mb):
+    """Device side. table: dict of (N,) arrays; coef planes int16-valued;
+    copy_mb: (N,) bool. The wire carries the table plus the nonzero
+    residuals of non-copy macroblocks as a COO list (copy blocks are never
+    serialized, and their stale plane content persists on both ends).
     Returns one uint8 wire (layout mirrored by unpack_encode_wire)."""
-    n = table["block_type"].shape[0]
-    del n
     parts = [
         _u8(table["motion_x"].astype(jnp.int16)),
         _u8(table["motion_y"].astype(jnp.int16)),
@@ -64,25 +65,30 @@ def pack_encode_wire(table, coef_y, coef_u, coef_v):
         table["sp_index"].astype(jnp.uint8),
         table["q_index"].astype(jnp.uint8),
     ]
-    overflow = jnp.zeros((), jnp.int32)
-    for p in (coef_y, coef_u, coef_v):
-        v = p.astype(jnp.int32)
-        parts.append(jax.lax.bitcast_convert_type(
-            jnp.clip(v, -128, 127).astype(jnp.int8), jnp.uint8).reshape(-1))
-        h, w = v.shape
-        ac_mask = ((jnp.arange(h) % 8 != 0)[:, None]
-                   | (jnp.arange(w) % 8 != 0)[None, :])
-        overflow = overflow + jnp.sum(
-            ac_mask & ((v < -128) | (v > 127)), dtype=jnp.int32)
-    for p in (coef_y, coef_u, coef_v):
-        parts.append(_u8(p[0::8, 0::8].astype(jnp.int16)))
-    parts.append(_u8(overflow[None]))
+    ah, aw = coef_y.shape
+    hb, wb = ah // 16, aw // 16
+    copy_map = copy_mb.reshape(hb, wb)
+    ymask = jnp.repeat(jnp.repeat(copy_map, 16, axis=0), 16, axis=1)
+    cmask = ymask[::2, ::2]
+    flat = jnp.concatenate([
+        jnp.where(ymask, 0, coef_y.astype(jnp.int32)).reshape(-1),
+        jnp.where(cmask, 0, coef_u.astype(jnp.int32)).reshape(-1),
+        jnp.where(cmask, 0, coef_v.astype(jnp.int32)).reshape(-1)])
+    mask = flat != 0
+    count = jnp.sum(mask, dtype=jnp.int32)
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    wpos = jnp.where(mask, rank, COO_K)
+    pos = jnp.zeros(COO_K, jnp.int32).at[wpos].set(
+        jnp.arange(flat.shape[0], dtype=jnp.int32), mode="drop")
+    val = jnp.zeros(COO_K, jnp.int16).at[wpos].set(
+        flat.astype(jnp.int16), mode="drop")
+    parts += [_u8(count[None]), _u8(pos), _u8(val)]
     return jnp.concatenate(parts)
 
 
-def unpack_encode_wire(buf, n, ah, aw):
-    """Host side (numpy). Returns (table dict, coef_y, coef_u, coef_v,
-    ac_overflow). Coef planes are exact iff ac_overflow == 0."""
+def unpack_encode_wire(buf, n):
+    """Host side (numpy). Returns (table dict, count, coo_pos, coo_val);
+    the COO list is exact iff count <= COO_K."""
     buf = np.asarray(buf)
     o = 0
 
@@ -100,15 +106,64 @@ def unpack_encode_wire(buf, n, ah, aw):
         sp_pred=take(n, np.uint8).astype(bool),
         sp_amount=take(n, np.uint8).astype(bool),
         sp_index=take(n, np.uint8), q_index=take(n, np.uint8))
-    planes = []
-    for (h, w) in ((ah, aw), (ah // 2, aw // 2), (ah // 2, aw // 2)):
-        planes.append(take(h * w, np.int8).reshape(h, w).astype(np.int16))
-    for p in planes:
-        h, w = p.shape
-        p[0::8, 0::8] = take((h // 8) * (w // 8), np.int16).reshape(
-            h // 8, w // 8)
-    overflow = int(take(1, np.int32)[0])
-    return table, planes[0], planes[1], planes[2], overflow
+    count = int(take(1, np.int32)[0])
+    pos = take(COO_K, np.int32)
+    val = take(COO_K, np.int16)
+    return table, count, pos, val
+
+
+def apply_coo_np(coef_y, coef_u, coef_v, copy_mb, count, pos, val):
+    """Host side: updates persistent int16 planes in place — zeroes all
+    non-copy macroblocks, then scatters the COO values (exact mirror of the
+    device-side coefficient persistence)."""
+    ah, aw = coef_y.shape
+    hb, wb = ah // 16, aw // 16
+    copy_map = copy_mb.reshape(hb, wb)
+    ymask = np.repeat(np.repeat(copy_map, 16, axis=0), 16, axis=1)
+    cmask = ymask[::2, ::2]
+    coef_y *= ymask
+    coef_u *= cmask
+    coef_v *= cmask
+    k = min(count, COO_K)
+    pos, val = pos[:k], val[:k]
+    ys, cs = ah * aw, (ah // 2) * (aw // 2)
+    sel = pos < ys
+    coef_y.reshape(-1)[pos[sel]] = val[sel]
+    sel = (pos >= ys) & (pos < ys + cs)
+    coef_u.reshape(-1)[pos[sel] - ys] = val[sel]
+    sel = pos >= ys + cs
+    coef_v.reshape(-1)[pos[sel] - ys - cs] = val[sel]
+
+
+# --------------------------------------------------------------------------
+# 9-bit YUV source wire (host rgb->yuv conversion, device upload)
+
+def yuv9_nbytes(ah, aw):
+    total = ah * aw + 2 * (ah // 2) * (aw // 2)
+    return total + total // 8
+
+
+def pack_yuv9_np(y, u, v):
+    """Host-side numpy reference for the source wire (production uses the
+    native C++ converter): values in [0, 512) -> lo bytes + packed hi bits."""
+    flat = np.concatenate([p.reshape(-1).astype(np.int32) for p in (y, u, v)])
+    lo = (flat & 0xFF).astype(np.uint8)
+    hi = np.packbits(((flat >> 8) & 1).astype(np.uint8), bitorder="little")
+    return np.concatenate([lo, hi])
+
+
+def unpack_yuv9(buf, ah, aw):
+    """Device side: source wire -> (y, u, v) int32 planes."""
+    total = ah * aw + 2 * (ah // 2) * (aw // 2)
+    lo = buf[:total].astype(jnp.int32)
+    hi_bytes = buf[total:total + total // 8]
+    hi = ((hi_bytes[:, None] >> jnp.arange(8, dtype=jnp.uint8)[None, :]) & 1
+          ).astype(jnp.int32).reshape(-1)
+    vals = lo + (hi << 8)
+    ys, cs = ah * aw, (ah // 2) * (aw // 2)
+    return (vals[:ys].reshape(ah, aw),
+            vals[ys:ys + cs].reshape(ah // 2, aw // 2),
+            vals[ys + cs:].reshape(ah // 2, aw // 2))
 
 
 # --------------------------------------------------------------------------

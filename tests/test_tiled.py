@@ -1,0 +1,118 @@
+"""Tiled multi-chip bitstream tests (docs/SHARDING.md) on the virtual
+8-device CPU mesh provisioned by conftest."""
+
+import numpy as np
+import pytest
+
+from cairo_tpu.tpu.api import TpuDecoder, TpuEncoder
+from cairo_tpu.tpu import tiled
+from cairo_tpu.blocktypes import COPY_BIT, MOTION_BIT
+
+
+def moving_frames(width, height, n, seed=3, shift=5):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 255, (height, width, 3), np.uint8)
+    yy, xx = np.mgrid[0:height, 0:width]
+    base[..., 0] = (128 + 90 * np.sin(xx * 0.11) * np.cos(yy * 0.07)
+                    ).astype(np.uint8)
+    frames = []
+    for t in range(n):
+        f = np.roll(base, t * shift, axis=1).copy()
+        f[10:30, 10:40] = (20 * t) % 200
+        frames.append(np.ascontiguousarray(f))
+    return frames
+
+
+def test_tiled_roundtrip_matches_encoder_recon():
+    frames = moving_frames(128, 64, 4)
+    enc = tiled.TiledEncoder(n_tiles=2)
+    enc.set_quality(12)
+    dec = tiled.TiledDecoder()
+    for f in frames:
+        chunk = enc.encode(f)
+        out = dec.decode(chunk)
+        assert np.array_equal(out, enc.recon_rgb())
+
+
+def test_tiled_stream_is_deterministic():
+    frames = moving_frames(128, 64, 3)
+    streams = []
+    for _ in range(2):
+        enc = tiled.TiledEncoder(n_tiles=2)
+        enc.set_quality(10)
+        streams.append(b"".join(enc.encode(f) for f in frames))
+    assert streams[0] == streams[1]
+
+
+def test_tile_count_1_matches_single_chip_stream():
+    """A 1-tile tiled stream carries exactly the single-chip slices."""
+    frames = moving_frames(80, 64, 3)
+    enc_t = tiled.TiledEncoder(n_tiles=1)
+    enc_s = TpuEncoder()
+    enc_t.set_quality(16)
+    enc_s.set_quality(16)
+    dec_t = tiled.TiledDecoder()
+    dec_s = TpuDecoder()
+    for i, f in enumerate(frames):
+        chunk_t = enc_t.encode(f)
+        chunk_s = enc_s.encode(f)
+        # strip containers: tiled = [hdr] desc u32 slice; single = [hdr] desc slice
+        if i == 0:
+            _, _, tiles, off_t = tiled.parse_tiled_header(chunk_t)
+            assert tiles == [80 // 16]
+            off_s = 14
+        else:
+            off_t = off_s = 0
+        slice_t = chunk_t[off_t + 10 + 4:]
+        slice_s = chunk_s[off_s + 10:]
+        assert slice_t == slice_s
+        assert np.array_equal(dec_t.decode(chunk_t), dec_s.decode(chunk_s))
+
+
+def test_halo_reach_motion_across_tile_boundary():
+    """A textured sprite crossing the tile boundary must be motion-matched
+    into the neighbor tile's halo (tpu/shard.py ppermute exchange)."""
+    width, height, shift = 128, 64, 12
+    rng = np.random.default_rng(0)
+    sprite = rng.integers(0, 255, (32, 32, 3), np.uint8)
+    frames = []
+    for t in range(2):
+        f = np.full((height, width, 3), 90, np.uint8)
+        x0 = 40 + t * shift  # sprite straddles the x=64 boundary
+        f[16:48, x0:x0 + 32] = sprite
+        frames.append(f)
+
+    enc = tiled.TiledEncoder(n_tiles=2)
+    enc.set_quality(16)
+    dec = tiled.TiledDecoder()
+    for f in frames:
+        chunk = enc.encode(f)
+        out = dec.decode(chunk)
+        assert np.array_equal(out, enc.recon_rgb())
+
+    # frame 1, tile 1 (right), leftmost MB column: the sprite content moved
+    # +12 px, so its match lies 12 px to the left — partly inside tile 0.
+    bt = dec._bt[1]
+    wb = dec.tile_w // 16
+    col0 = np.arange(len(bt)) % wb == 0
+    moved = (bt.block_type & MOTION_BIT).astype(bool) & (bt.motion_x == -shift)
+    assert np.any(moved & col0), (bt.motion_x[col0], bt.block_type[col0])
+
+
+def test_gop_axis_independence():
+    """GOPs encoded side by side on the gop mesh axis must produce byte-
+    identical streams to encoding each alone."""
+    seq_a = moving_frames(64, 48, 3, seed=1)
+    seq_b = moving_frames(64, 48, 3, seed=2, shift=7)
+
+    enc2 = tiled.TiledEncoder(n_tiles=2, n_gops=2)
+    enc2.set_quality(14)
+    batched = [enc2.encode_batch([a, b]) for a, b in zip(seq_a, seq_b)]
+    stream_a2 = b"".join(c[0] for c in batched)
+    stream_b2 = b"".join(c[1] for c in batched)
+
+    for seq, want in ((seq_a, stream_a2), (seq_b, stream_b2)):
+        enc1 = tiled.TiledEncoder(n_tiles=2, n_gops=1)
+        enc1.set_quality(14)
+        got = b"".join(enc1.encode(f) for f in seq)
+        assert got == want
