@@ -1,18 +1,24 @@
 """Driver benchmark: encode+decode frames/s per chip at 1080p, quality 16.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N/0.36}
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N/0.36, ...}
 
 Baseline: the reference C++ encoder+decoder measured on this host's CPU
-(BASELINE.md): 0.38 fps encode, 0.36 fps encode+decode at 1080p q16.
+(BASELINE.md): 0.38 fps encode, 8.61 fps decode, 0.36 fps encode+decode at
+1080p q16.
 
-The pipeline is measured in steady state (first-frame compilation excluded;
-the persistent jax compilation cache makes later runs cheap). Device work,
-device<->host transfer and host entropy coding overlap via the async API.
+Both legs run their pipelined paths (TpuEncoder.encode_many /
+TpuDecoder.decode_many): device compute, host entropy coding and the
+host<->device wire transfers overlap. Steady state is measured (the first
+two frames carry compilation and warmup). The auxiliary keys report the
+encoder's device/entropy stage split (last frame) and the tiled-pipeline
+scaling efficiency measured on the 8-device virtual CPU mesh
+(bench/bench_scaling.py).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -44,43 +50,68 @@ def synth_frames(width, height, n_frames, seed=7):
     return frames
 
 
+def scaling_number():
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench", "bench_scaling.py")],
+            capture_output=True, text=True, timeout=900)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
+
+
 def main():
     from cairo_tpu.tpu.api import TpuDecoder, TpuEncoder
 
     width, height = 1920, 1080
-    warmup, measured = 2, 10
+    warmup, measured = 2, 12
     frames = synth_frames(width, height, warmup + measured)
 
     enc = TpuEncoder()
     enc.set_quality(16)
-    dec = TpuDecoder()
 
-    for f in frames[:warmup]:
-        dec.decode(enc.encode(f))
-
+    chunks = []
     t0 = time.perf_counter()
-    chunks = [enc.encode(f) for f in frames[warmup:]]
-    t_enc = time.perf_counter()
-    outs = [dec.decode(c) for c in chunks]
-    t_dec = time.perf_counter()
+    for i, chunk in enumerate(enc.encode_many(frames)):
+        chunks.append(chunk)
+        if i == warmup - 1:
+            t0 = time.perf_counter()
+    t_enc = time.perf_counter() - t0
+    enc_stage_ms = dict(enc.last_stats["stage_ms"])
 
-    n = len(chunks)
-    enc_fps = n / (t_enc - t0)
-    dec_fps = n / (t_dec - t_enc)
-    total_fps = n / (t_dec - t0)
+    dec = TpuDecoder()
+    outs = []
+    t0 = time.perf_counter()
+    for i, rgb in enumerate(dec.decode_many(chunks)):
+        outs.append(rgb)
+        if i == warmup - 1:
+            t0 = time.perf_counter()
+    t_dec = time.perf_counter() - t0
+
+    n = measured
+    enc_fps = n / t_enc
+    dec_fps = n / t_dec
+    total_fps = 1.0 / (1.0 / enc_fps + 1.0 / dec_fps)
     psnr = 10 * np.log10(255.0 ** 2 / max(1e-9, float(np.mean(
         (outs[-1].astype(np.float64) - frames[-1].astype(np.float64)) ** 2))))
 
     result = {
-        "metric": "encode+decode fps/chip @1080p q16 (evx1-conformant)",
+        "metric": "encode+decode fps/chip @1080p q16 (evx1-conformant, pipelined)",
         "value": round(total_fps, 3),
         "unit": "fps",
         "vs_baseline": round(total_fps / BASELINE_ENC_DEC_FPS, 2),
         "encode_fps": round(enc_fps, 3),
         "decode_fps": round(dec_fps, 3),
+        "enc_stage_ms": {k: round(v, 1) for k, v in enc_stage_ms.items()},
         "psnr_db": round(psnr, 2),
-        "kbits_per_frame": round(sum(len(c) for c in chunks) * 8 / n / 1000, 1),
+        "kbits_per_frame": round(
+            sum(len(c) for c in chunks) * 8 / len(chunks) / 1000, 1),
     }
+    scaling = scaling_number()
+    if scaling:
+        result["scaling_efficiency_virt8"] = scaling["scaling_efficiency"]
     print(json.dumps(result))
 
 

@@ -16,7 +16,7 @@ from ..blocktypes import BlockTable
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB = os.path.join(_DIR, "libcairo_native.so")
-_SRC = [os.path.join(_DIR, "entropy.cpp")]
+_SRC = [os.path.join(_DIR, "entropy.cpp"), os.path.join(_DIR, "decoder.cpp")]
 
 
 def build(force: bool = False):
@@ -53,6 +53,17 @@ def lib():
         L.evxn_yuv_wire_to_rgb.argtypes = [u8, u, u, u, u, u, u8]
         L.evxn_rgb_to_yuv9.restype = ctypes.c_longlong
         L.evxn_rgb_to_yuv9.argtypes = [u8, u, u, u, u, u8]
+        p32 = ctypes.POINTER(ctypes.c_int32)
+        vp = ctypes.c_void_p
+        L.evxn_dec_create.restype = vp
+        L.evxn_dec_create.argtypes = [u, u]
+        L.evxn_dec_destroy.argtypes = [vp]
+        L.evxn_dec_set_tables.argtypes = [p32] * 7
+        L.evxn_dec_set_ring.argtypes = [vp, ctypes.c_int, i16, i16, i16]
+        L.evxn_dec_get_ring.argtypes = [vp, ctypes.c_int, i16, i16, i16]
+        L.evxn_dec_frame.restype = ctypes.c_longlong
+        L.evxn_dec_frame.argtypes = [vp, ctypes.c_int] + \
+            [u8, u8, i16, i16, u8, u8, u8, u8] + [i16, i16, i16, u, u, u8]
         _lib = L
     return _lib
 
@@ -155,6 +166,69 @@ def rgb_to_yuv9(rgb: np.ndarray, aw: int, ah: int) -> np.ndarray:
     out = np.empty(total + total // 8, np.uint8)
     lib().evxn_rgb_to_yuv9(_p8(rgb), width, height, aw, ah, _p8(out))
     return out
+
+
+class NativeDecoder:
+    """Sequential C++ frame reconstruction (decoder.cpp): the runtime path
+    for streams the batched TPU decoder cannot take (intra-motion blocks,
+    i.e. reference-encoder streams). Mirrors cpuref.engine.decode_slice +
+    deblock + RGB conversion; differentially tested against it."""
+
+    _tables_set = False
+
+    def __init__(self, aligned_w: int, aligned_h: int):
+        from .. import tables
+        L = lib()
+        if not NativeDecoder._tables_set:
+            def p32(a):
+                a = np.ascontiguousarray(a, dtype=np.int32)
+                return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            holds = [p32(x) for x in (
+                tables.DCT_BASIS_8.reshape(-1),
+                tables.INTRA_QM_8x8.reshape(-1),
+                tables.INTER_QM_8x8.reshape(-1),
+                tables.luma_dc_scale(np.arange(32)),
+                tables.chroma_dc_scale(np.arange(32)),
+                tables.DEBLOCK_ALPHA, tables.DEBLOCK_BETA)]
+            L.evxn_dec_set_tables(*[h[1] for h in holds])
+            NativeDecoder._tables_set = True
+        self._h = L.evxn_dec_create(aligned_w, aligned_h)
+        self.aw, self.ah = aligned_w, aligned_h
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            lib().evxn_dec_destroy(self._h)
+            self._h = None
+
+    def set_ring(self, slot: int, y: np.ndarray, u: np.ndarray,
+                 v: np.ndarray):
+        lib().evxn_dec_set_ring(
+            self._h, slot, _p16(np.ascontiguousarray(y, np.int16)),
+            _p16(np.ascontiguousarray(u, np.int16)),
+            _p16(np.ascontiguousarray(v, np.int16)))
+
+    def get_ring(self, slot: int):
+        y = np.empty((self.ah, self.aw), np.int16)
+        u = np.empty((self.ah // 2, self.aw // 2), np.int16)
+        v = np.empty((self.ah // 2, self.aw // 2), np.int16)
+        lib().evxn_dec_get_ring(self._h, slot, _p16(y), _p16(u), _p16(v))
+        return y, u, v
+
+    def decode_frame(self, bt: BlockTable, y: np.ndarray, u: np.ndarray,
+                     v: np.ndarray, frame_index: int, width: int,
+                     height: int) -> np.ndarray:
+        a = _bt_arrays(bt)
+        rgb = np.empty((height, width, 3), np.uint8)
+        ret = lib().evxn_dec_frame(
+            self._h, frame_index, _p8(a[0]), _p8(a[1]), _p16(a[2]),
+            _p16(a[3]), _p8(a[4]), _p8(a[5]), _p8(a[6]), _p8(a[7]),
+            _p16(np.ascontiguousarray(y, np.int16)),
+            _p16(np.ascontiguousarray(u, np.int16)),
+            _p16(np.ascontiguousarray(v, np.int16)),
+            width, height, _p8(rgb))
+        if ret != 0:
+            raise RuntimeError("native decode failed")
+        return rgb
 
 
 def yuv_wire_to_rgb(wire: np.ndarray, aw: int, ah: int, width: int,

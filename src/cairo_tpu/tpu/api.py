@@ -269,7 +269,7 @@ class TpuEncoder:
 class TpuDecoder:
     def __init__(self):
         self._state = None
-        self._cpu_fallback = None
+        self._native = None  # sequential C++ decoder once a stream needs it
         self.frame_index = 0
         self.width = self.height = 0
 
@@ -311,7 +311,7 @@ class TpuDecoder:
             (np.abs(self._bt.motion_x[is_motion_blk]) <= 16)
             & (np.abs(self._bt.motion_y[is_motion_blk]) <= 16)))
         self.frame_index += 1
-        if has_intra_motion or not mv_in_range:
+        if self._native is not None or has_intra_motion or not mv_in_range:
             return dict(kind="host", rgb=self._decode_sequential(index))
 
         pos, val, count = native.extract_coo(
@@ -385,6 +385,16 @@ class TpuDecoder:
         arrays = {}
         if self._state is not None:
             arrays = _ring_to_arrays(self._state)
+            if self._native is not None:
+                # host-side state is authoritative in sequential mode
+                rings = [self._native.get_ring(s)
+                         for s in range(tables.REFERENCE_FRAME_COUNT)]
+                arrays["ring_y"] = np.stack([r[0] for r in rings])
+                arrays["ring_u"] = np.stack([r[1] for r in rings])
+                arrays["ring_v"] = np.stack([r[2] for r in rings])
+                arrays["coef_y"] = self._coef_y.copy()
+                arrays["coef_u"] = self._coef_u.copy()
+                arrays["coef_v"] = self._coef_v.copy()
             arrays.update(
                 host_coef_y=self._coef_y, host_coef_u=self._coef_u,
                 host_coef_v=self._coef_v,
@@ -396,6 +406,7 @@ class TpuDecoder:
 
     def load_state_dict(self, meta, arrays):
         self.frame_index = meta["frame_index"]
+        self._native = None  # resume on the device path until needed again
         if meta["init"]:
             self._init(meta["width"], meta["height"])
             self._state = _state_from_arrays(arrays)
@@ -408,43 +419,21 @@ class TpuDecoder:
                 getattr(self._bt, k)[:] = arrays[f"bt_{k}"]
 
     def _decode_sequential(self, index: int) -> np.ndarray:
-        """cpuref fallback for frames with intra-motion blocks: reconstruct
-        sequentially on host, then sync the device ring."""
-        import jax.numpy as jnp
-
-        from ..cpuref import engine as cpu_engine
-
-        ring_y = np.asarray(jax.device_get(self._state["ring_y"]))
-        ring_u = np.asarray(jax.device_get(self._state["ring_u"]))
-        ring_v = np.asarray(jax.device_get(self._state["ring_v"]))
-
-        ctx = cpu_engine.CodecContext(self.width, self.height)
-        for s in range(tables.REFERENCE_FRAME_COUNT):
-            ctx.recon[s].y[:] = ring_y[s]
-            ctx.recon[s].u[:] = ring_u[s]
-            ctx.recon[s].v[:] = ring_v[s]
-        ctx.block_table = self._bt
-        ctx.input.y[:] = self._coef_y
-        ctx.input.u[:] = self._coef_u
-        ctx.input.v[:] = self._coef_v
-        cpu_engine.decode_slice(ctx, index)
-        cpu_engine.deblock_recon(ctx, index)
-        slot = ctx.ring_slot(index, 0)
-        rec = (jnp.asarray(ctx.recon[slot].y), jnp.asarray(ctx.recon[slot].u),
-               jnp.asarray(ctx.recon[slot].v))
-        from . import motion as motion_mod
-        nwy, nwu, nwv = motion_mod.pred_windows(rec)
-        self._state = dict(
-            self._state,
-            ring_y=self._state["ring_y"].at[slot].set(rec[0]),
-            ring_u=self._state["ring_u"].at[slot].set(rec[1]),
-            ring_v=self._state["ring_v"].at[slot].set(rec[2]),
-            win_y=self._state["win_y"].at[slot].set(nwy.astype(jnp.int16)),
-            win_u=self._state["win_u"].at[slot].set(nwu.astype(jnp.int16)),
-            win_v=self._state["win_v"].at[slot].set(nwv.astype(jnp.int16)),
-            # the device-persistent coefficient planes must track the host's
-            # (the COO path rebuilds only non-copy blocks each frame)
-            coef_y=jnp.asarray(self._coef_y), coef_u=jnp.asarray(self._coef_u),
-            coef_v=jnp.asarray(self._coef_v),
-        )
-        return cpu_engine.recon_to_rgb(ctx, index, self.width, self.height)
+        """Native C++ fallback for streams the parallel path cannot batch
+        (intra-motion blocks read the current frame's partially-decoded
+        pixels in raster order — reference-encoder streams). On first use
+        the ring state moves host-side and the decoder STAYS sequential:
+        the native path decodes any conformant stream, and ping-ponging
+        full ring syncs over the device link would cost more than it
+        saves."""
+        if self._native is None:
+            self._native = native.NativeDecoder(self._aw, self._ah)
+            ring_y = np.asarray(jax.device_get(self._state["ring_y"]))
+            ring_u = np.asarray(jax.device_get(self._state["ring_u"]))
+            ring_v = np.asarray(jax.device_get(self._state["ring_v"]))
+            for s in range(tables.REFERENCE_FRAME_COUNT):
+                self._native.set_ring(s, ring_y[s], ring_u[s], ring_v[s])
+        with jax.profiler.TraceAnnotation("cairo_tpu.native_decode"):
+            return self._native.decode_frame(
+                self._bt, self._coef_y, self._coef_u, self._coef_v,
+                index, self.width, self.height)
