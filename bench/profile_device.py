@@ -23,8 +23,10 @@ def main():
     rng = np.random.default_rng(0)
 
     from cairo_tpu.tpu import wire
-    src = jax.device_put(rng.integers(0, 255, wire.yuv9_nbytes(ah, aw),
-                                      np.uint8).astype(np.uint8))
+    buf = rng.integers(0, 255, 8 + wire.yuv9_nbytes(ah, aw),
+                       np.uint8).astype(np.uint8)
+    buf[:8] = np.array([1, 16], np.int32).view(np.uint8)
+    src = jax.device_put(buf)
     state = engine.init_state(aw, ah)
     state = jax.tree.map(lambda x: x + 0, state)  # materialize
     jax.block_until_ready(state)
@@ -32,15 +34,14 @@ def main():
     for is_inter in (False, True):
         t0 = time.perf_counter()
         new_state, out = engine.encode_step(
-            src, state, 1, 16, aligned_w=aw, aligned_h=ah,
-            is_inter=is_inter)
+            src, state, aligned_w=aw, aligned_h=ah, is_inter=is_inter)
         jax.block_until_ready(out)
         t1 = time.perf_counter()
         reps = 5
         t0 = time.perf_counter()
         for i in range(reps):
             new_state, out = engine.encode_step(
-                src, new_state, 1 + i, 16, aligned_w=aw, aligned_h=ah,
+                src, new_state, aligned_w=aw, aligned_h=ah,
                 is_inter=is_inter)
         jax.block_until_ready(out)
         t1 = time.perf_counter()

@@ -157,14 +157,18 @@ def extract_coo(block_type: np.ndarray, wb: int, y: np.ndarray,
     return pos, val, int(count)
 
 
-def rgb_to_yuv9(rgb: np.ndarray, aw: int, ah: int) -> np.ndarray:
+def rgb_to_yuv9(rgb: np.ndarray, aw: int, ah: int, frame_index: int = 0,
+                quality: int = 0) -> np.ndarray:
     """Converts an (H, W, 3) uint8 frame to the 9-bit YUV source wire
-    (tpu/wire.py layout) over the aligned (ah, aw) grid."""
+    (tpu/wire.py layout) over the aligned (ah, aw) grid, prefixed with the
+    8-byte [frame_index, quality] int32 header the device step reads."""
     height, width = rgb.shape[:2]
     rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
     total = ah * aw + 2 * (ah // 2) * (aw // 2)
-    out = np.empty(total + total // 8, np.uint8)
-    lib().evxn_rgb_to_yuv9(_p8(rgb), width, height, aw, ah, _p8(out))
+    out = np.empty(8 + total + total // 8, np.uint8)
+    out[:8] = np.array([frame_index, quality], np.int32).view(np.uint8)
+    payload = out[8:]
+    lib().evxn_rgb_to_yuv9(_p8(rgb), width, height, aw, ah, _p8(payload))
     return out
 
 

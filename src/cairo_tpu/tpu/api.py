@@ -104,11 +104,12 @@ class TpuEncoder:
         frame_desc = struct.pack(_FRAME_FMT, self.frame_type,
                                  self.frame_index, self.quality)
         with jax.profiler.TraceAnnotation("cairo_tpu.rgb_to_yuv9"):
-            src_wire = native.rgb_to_yuv9(rgb, self._aw, self._ah)
+            src_wire = native.rgb_to_yuv9(rgb, self._aw, self._ah,
+                                          self.frame_index, self.quality)
         with jax.profiler.TraceAnnotation("cairo_tpu.encode_step"):
             self._state, out = engine.encode_step(
-                src_wire, self._state, self.frame_index, self.quality,
-                aligned_w=self._aw, aligned_h=self._ah,
+                src_wire, self._state, aligned_w=self._aw,
+                aligned_h=self._ah,
                 is_inter=self.frame_type == FRAME_INTER)
         out["wire"].copy_to_host_async()  # start the D2H as compute finishes
         pending = dict(header=header, frame_desc=frame_desc, out=out,
@@ -180,16 +181,21 @@ class TpuEncoder:
         return self._finish(self._dispatch(rgb))
 
     def encode_many(self, frames):
-        """Pipelined encode: device computes frame N+1 while the host
-        entropy-codes frame N. Yields one byte chunk per input frame."""
-        pending = None
-        for rgb in frames:
-            nxt = self._dispatch(rgb)
-            if pending is not None:
-                yield self._finish(pending)
-            pending = nxt
-        if pending is not None:
-            yield self._finish(pending)
+        """Pipelined encode: device computes frame N+1 while a worker
+        thread fetches + entropy-codes frame N (the fetch and the C++ coder
+        release the GIL, so the host conversion of N+1 runs in parallel).
+        Yields one byte chunk per input frame."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(1) as pool:
+            fut = None
+            for rgb in frames:
+                nxt = self._dispatch(rgb)
+                if fut is not None:
+                    yield fut.result()
+                fut = pool.submit(self._finish, nxt)
+            if fut is not None:
+                yield fut.result()
 
     # -- debug/peek views (evx1enc.cpp:170-305 parity) ---------------------
 
@@ -319,11 +325,12 @@ class TpuDecoder:
             self._coef_v, wire_mod.COO_K)
         if count <= wire_mod.COO_K:
             in_wire = np.concatenate([
+                np.array([index, 0], np.int32).view(np.uint8),
                 pos.view(np.uint8), val.view(np.uint8),
                 wire_mod.pack_table_np(self._bt)])
             with jax.profiler.TraceAnnotation("cairo_tpu.decode_step"):
                 self._state, yuv = engine.decode_step_coo(
-                    in_wire, self._state, index,
+                    in_wire, self._state,
                     aligned_w=self._aw, aligned_h=self._ah)
             yuv.copy_to_host_async()
             return dict(kind="wire", yuv=yuv, index=index,
@@ -365,16 +372,20 @@ class TpuDecoder:
         return self._finish_decode(self._dispatch_decode(chunk))
 
     def decode_many(self, chunks):
-        """Pipelined decode: the device reconstructs frame N+1 while the
-        host converts/outputs frame N. Yields one RGB frame per chunk."""
-        pending = None
-        for chunk in chunks:
-            nxt = self._dispatch_decode(chunk)
-            if pending is not None:
-                yield self._finish_decode(pending)
-            pending = nxt
-        if pending is not None:
-            yield self._finish_decode(pending)
+        """Pipelined decode: the device reconstructs frame N+1 while a
+        worker thread fetches + converts frame N. Yields one RGB frame per
+        chunk."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(1) as pool:
+            fut = None
+            for chunk in chunks:
+                nxt = self._dispatch_decode(chunk)
+                if fut is not None:
+                    yield fut.result()
+                fut = pool.submit(self._finish_decode, nxt)
+            if fut is not None:
+                yield fut.result()
 
     # -- checkpoint / resume (cairo_tpu.checkpoint) ------------------------
 

@@ -129,15 +129,19 @@ def _classify_inter(src, src_planes, ring, state_wins, px, py, quality,
 @functools.partial(jax.jit, static_argnames=("aligned_w", "aligned_h",
                                              "is_inter"),
                    donate_argnums=(1,))
-def encode_step(src_wire, state, frame_index, quality, *, aligned_w,
-                aligned_h, is_inter):
+def encode_step(src_wire, state, *, aligned_w, aligned_h, is_inter):
     """One frame through the device pipeline. The input is the 9-bit YUV
     source wire (host-converted, frame-edge masking already applied — see
-    native.rgb_to_yuv9). Returns (new_state, outputs)."""
+    native.rgb_to_yuv9) prefixed with an 8-byte [frame_index, quality]
+    int32 header, so one upload carries everything (per-transfer latency on
+    the host link is ~5-15 ms). Returns (new_state, outputs)."""
     px, py, wb, hb = _mb_coords(aligned_w, aligned_h)
     n = wb * hb
 
-    y_in, u_in, v_in = wire_mod.unpack_yuv9(src_wire, aligned_h, aligned_w)
+    hdr = jax.lax.bitcast_convert_type(src_wire[:8].reshape(2, 4), jnp.int32)
+    frame_index, quality = hdr[0], hdr[1]
+    y_in, u_in, v_in = wire_mod.unpack_yuv9(src_wire[8:], aligned_h,
+                                            aligned_w)
 
     src = (ops.plane_to_blocks(y_in, MB),
            ops.plane_to_blocks(u_in, MB // 2),
@@ -371,18 +375,21 @@ def decode_step(table, coef, state, frame_index, *, width, height,
 
 @functools.partial(jax.jit, static_argnames=("aligned_w", "aligned_h"),
                    donate_argnums=(1,))
-def decode_step_coo(in_wire, state, frame_index, *, aligned_w, aligned_h):
-    """Transfer-optimized decode: one packed upload (residual COO + block
-    table), 9-bit YUV wire out (see tpu.wire). Coefficient planes persist
-    in device state; copy blocks keep their stale residuals, non-copy
-    blocks are rebuilt from the COO list."""
+def decode_step_coo(in_wire, state, *, aligned_w, aligned_h):
+    """Transfer-optimized decode: one packed upload (8-byte header with the
+    frame index + residual COO + block table), 9-bit YUV wire out (see
+    tpu.wire). Coefficient planes persist in device state; copy blocks keep
+    their stale residuals, non-copy blocks are rebuilt from the COO list."""
     n = (aligned_w // MB) * (aligned_h // MB)
     k = wire_mod.COO_K
+    hdr = jax.lax.bitcast_convert_type(in_wire[:8].reshape(2, 4), jnp.int32)
+    frame_index = hdr[0]
+    body = in_wire[8:]
     coo_pos = jax.lax.bitcast_convert_type(
-        in_wire[:4 * k].reshape(k, 4), jnp.int32)
+        body[:4 * k].reshape(k, 4), jnp.int32)
     coo_val = jax.lax.bitcast_convert_type(
-        in_wire[4 * k:6 * k].reshape(k, 2), jnp.int16)
-    table = wire_mod.unpack_table_wire(in_wire[6 * k:], n)
+        body[4 * k:6 * k].reshape(k, 2), jnp.int16)
+    table = wire_mod.unpack_table_wire(body[6 * k:], n)
     is_copy = (table["block_type"].astype(jnp.int32) & COPY_BIT) != 0
 
     ys = aligned_h * aligned_w
