@@ -150,6 +150,74 @@ def adaptive_qp(quality, mb_y):
 
 # ----------------------------------------------------------------- imaging
 
+# -- 4x4 family + true 16x16 line transforms (library parity;
+#    transform.cpp:36-175, 455-521 — the wire's 16x16 is quadrant 8x8s).
+#    jnp int32 arithmetic wraps like the as-built C.
+
+_B4 = jnp.asarray(tables.DCT_BASIS_4, dtype=jnp.int32)
+_B16 = jnp.asarray(tables.DCT_BASIS_16, dtype=jnp.int32)
+
+
+def _fwd4_1d(x):
+    t = x @ _B4.T
+    dc = t[..., :1] >> 1
+    ac = (t[..., 1:] * 2896) >> 12
+    return rounded_div_pos(jnp.concatenate([dc, ac], axis=-1), 128)
+
+
+def _inv4_1d(v):
+    terms = v[..., :, None] * _B4[None, :, :]
+    t0 = terms[..., 0, :] >> 1
+    tk = ((terms[..., 1:, :] * 2896) >> 12).sum(axis=-2)
+    return rounded_div_pos(t0 + tk, 128)
+
+
+def fdct4(blocks):
+    """Forward 4x4 DCT over (..., 4, 4) int blocks (transform_4x4)."""
+    t = wrap16(_fwd4_1d(blocks.astype(jnp.int32)))
+    return wrap16(_fwd4_1d(t.swapaxes(-1, -2)).swapaxes(-1, -2))
+
+
+def idct4(blocks):
+    """Inverse 4x4 DCT (vertical pass then horizontal)."""
+    x = blocks.astype(jnp.int32)
+    t = wrap16(_inv4_1d(x.swapaxes(-1, -2)).swapaxes(-1, -2))
+    return wrap16(_inv4_1d(t))
+
+
+def _cdiv128(t):
+    q = jnp.abs(t) // 128
+    return jnp.where(t < 0, -q, q)
+
+
+def fdct16_line(lines):
+    """transform_16x16_line over (..., 16) int sample vectors."""
+    t = lines.astype(jnp.int32) @ _B16.T
+    dc = _cdiv128(t[..., :1] * 32)
+    ac = _cdiv128(t[..., 1:] * 45)
+    return wrap16(rounded_div_pos(jnp.concatenate([dc, ac], axis=-1), 128))
+
+
+def idct16_line(lines):
+    """inverse_transform_16x16_line over (..., 16) coefficient vectors."""
+    terms = lines[..., :, None].astype(jnp.int32) * _B16[None, :, :]
+    t0 = _cdiv128(terms[..., 0, :] * 32)
+    tk = _cdiv128(terms[..., 1:, :] * 45).sum(axis=-2)
+    return wrap16(rounded_div_pos(t0 + tk, 128))
+
+
+def fdct16(blocks):
+    """True 16x16 DCT composed from the line transform."""
+    t = fdct16_line(blocks)
+    return fdct16_line(t.swapaxes(-1, -2)).swapaxes(-1, -2)
+
+
+def idct16(blocks):
+    """True 16x16 inverse DCT (columns then rows)."""
+    t = idct16_line(blocks.swapaxes(-1, -2)).swapaxes(-1, -2)
+    return idct16_line(t)
+
+
 def rgb_to_yuv420(rgb):
     """(H, W, 3) uint8 -> (Y, U, V) int32 planes (convert.cpp semantics)."""
     r = rgb[..., 0].astype(jnp.int32)

@@ -18,7 +18,15 @@ _LIB_PATH = os.path.join(_DIR, "liboracle.so")
 
 
 def _load():
-    if not os.path.exists(_LIB_PATH):
+    stale = not os.path.exists(_LIB_PATH)
+    if not stale:  # rebuild when any shim source is newer than the .so
+        mtime = os.path.getmtime(_LIB_PATH)
+        for f in os.listdir(_DIR):
+            if f.endswith((".cpp", ".h", ".sh")) and \
+                    os.path.getmtime(os.path.join(_DIR, f)) > mtime:
+                stale = True
+                break
+    if stale:
         subprocess.run(["sh", os.path.join(_DIR, "build.sh")], check=True)
     lib = ctypes.CDLL(_LIB_PATH)
     u8p = ctypes.POINTER(ctypes.c_ubyte)

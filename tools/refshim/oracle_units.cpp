@@ -20,6 +20,9 @@ using namespace evx;
 namespace evx {
 // not declared in a header; defined in deblock.cpp
 evx_status deblock_image_filter(evx_block_desc *block_table, image_set *target_image);
+// not declared in transform.h; defined in transform.cpp
+void transform_16x16_line(int16 *src, uint32 src_pitch, int16 *dest, uint32 dest_pitch);
+void inverse_transform_16x16_line(int16 *src, uint32 src_pitch, int16 *dest, uint32 dest_pitch);
 }
 
 extern "C" {
@@ -34,6 +37,24 @@ void evxu_inverse_transform_8x8(short *src, unsigned int pitch, short *dest) {
 
 void evxu_inverse_transform_add_8x8(short *src, short *add, unsigned int pitch, short *dest) {
     inverse_transform_add_8x8(src, pitch, add, pitch, dest, pitch);
+}
+
+void evxu_transform_4x4(short *src, unsigned int pitch, short *dest) {
+    transform_4x4(src, pitch, dest, pitch);
+}
+
+void evxu_inverse_transform_4x4(short *src, unsigned int pitch, short *dest) {
+    inverse_transform_4x4(src, pitch, dest, pitch);
+}
+
+void evxu_transform_16x16_line(short *src, unsigned int pitch, short *dest,
+                               unsigned int dest_pitch) {
+    transform_16x16_line(src, pitch, dest, dest_pitch);
+}
+
+void evxu_inverse_transform_16x16_line(short *src, unsigned int pitch,
+                                       short *dest, unsigned int dest_pitch) {
+    inverse_transform_16x16_line(src, pitch, dest, dest_pitch);
 }
 
 void evxu_sub_transform_8x8(short *src, short *sub, unsigned int pitch, short *dest) {

@@ -21,6 +21,10 @@ def _setup():
     u = ctypes.c_uint
     L.evxu_transform_8x8.argtypes = [i16, u, i16]
     L.evxu_inverse_transform_8x8.argtypes = [i16, u, i16]
+    L.evxu_transform_4x4.argtypes = [i16, u, i16]
+    L.evxu_inverse_transform_4x4.argtypes = [i16, u, i16]
+    L.evxu_transform_16x16_line.argtypes = [i16, u, i16, u]
+    L.evxu_inverse_transform_16x16_line.argtypes = [i16, u, i16, u]
     L.evxu_inverse_transform_add_8x8.argtypes = [i16, i16, u, i16]
     L.evxu_sub_transform_8x8.argtypes = [i16, i16, u, i16]
     L.evxu_quantize_macroblock.argtypes = [ctypes.c_ubyte, ctypes.c_int] + [i16] * 6 + [u, u, u]
@@ -72,6 +76,35 @@ def inverse_transform_8x8(block):
     src = np.ascontiguousarray(block, dtype=np.int16)
     dst = np.zeros_like(src)
     L().evxu_inverse_transform_8x8(_i16p(src), 8, _i16p(dst))
+    return dst
+
+
+def transform_4x4(block):
+    src = np.ascontiguousarray(block, dtype=np.int16)
+    dst = np.zeros_like(src)
+    L().evxu_transform_4x4(_i16p(src), 4, _i16p(dst))
+    return dst
+
+
+def inverse_transform_4x4(block):
+    src = np.ascontiguousarray(block, dtype=np.int16)
+    dst = np.zeros_like(src)
+    L().evxu_inverse_transform_4x4(_i16p(src), 4, _i16p(dst))
+    return dst
+
+
+def transform_16x16_line(line):
+    """One 16-sample forward line (the true-16x16 building block)."""
+    src = np.ascontiguousarray(line, dtype=np.int16)
+    dst = np.zeros_like(src)
+    L().evxu_transform_16x16_line(_i16p(src), 1, _i16p(dst), 1)
+    return dst
+
+
+def inverse_transform_16x16_line(line):
+    src = np.ascontiguousarray(line, dtype=np.int16)
+    dst = np.zeros_like(src)
+    L().evxu_inverse_transform_16x16_line(_i16p(src), 1, _i16p(dst), 1)
     return dst
 
 
