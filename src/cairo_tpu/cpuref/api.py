@@ -28,28 +28,31 @@ HEADER_SIZE = struct.calcsize(_HEADER_FMT)
 FRAME_DESC_SIZE = struct.calcsize(_FRAME_FMT)
 
 
-def pack_header(width: int, height: int) -> bytes:
+def pack_header(width: int, height: int,
+                ref_count: int = tables.REFERENCE_FRAME_COUNT) -> bytes:
     return struct.pack(_HEADER_FMT, b"EVX1", HEADER_SIZE,
-                       tables.REFERENCE_FRAME_COUNT, tables.VERSION_WORD,
-                       width, height)
+                       ref_count, tables.VERSION_WORD, width, height)
 
 
-def parse_header(data: bytes) -> tuple[int, int]:
-    magic, size, ref_count, version, width, height = struct.unpack(
+def parse_header(data: bytes,
+                 ref_count: int = tables.REFERENCE_FRAME_COUNT
+                 ) -> tuple[int, int]:
+    magic, size, refs, version, width, height = struct.unpack(
         _HEADER_FMT, data[:HEADER_SIZE])
     if magic != b"EVX1" or size != HEADER_SIZE or \
-            ref_count != tables.REFERENCE_FRAME_COUNT or \
-            version != tables.VERSION_WORD:
+            refs != ref_count or version != tables.VERSION_WORD:
         raise ValueError("invalid evx1 header")
     return width, height
 
 
 class Evx1Encoder:
-    def __init__(self):
+    def __init__(self, config=None):
+        from ..config import CONFORMANCE
+        self.config = config if config is not None else CONFORMANCE
         self._ctx: engine.CodecContext | None = None
         self.frame_type = FRAME_INTRA
         self.frame_index = 0
-        self.quality = tables.DEFAULT_QUALITY
+        self.quality = self.config.default_quality
         self.width = 0
         self.height = 0
         self.last_stats = None
@@ -65,9 +68,10 @@ class Evx1Encoder:
         height, width = rgb.shape[:2]
         out = BitWriter()
         if self._ctx is None:
-            self._ctx = engine.CodecContext(width, height)
+            self._ctx = engine.CodecContext(width, height, self.config)
             self.width, self.height = width, height
-            out.write_bytes(pack_header(width, height))
+            out.write_bytes(pack_header(
+                width, height, self.config.reference_frame_count))
         if (width, height) != (self.width, self.height):
             raise ValueError("frame dimensions changed mid-stream")
 
@@ -86,9 +90,10 @@ class Evx1Encoder:
             self.frame_index, self.frame_type, self.quality, len(chunk),
             ctx.block_table.block_type, ctx.block_table.q_index)
 
-        self.frame_type = FRAME_INTER
-        if tables.PERIODIC_INTRA_RATE and \
-                (self.frame_index + 1) % tables.PERIODIC_INTRA_RATE == 0:
+        if self.config.enable_inter_frames:
+            self.frame_type = FRAME_INTER
+        rate = self.config.periodic_intra_rate
+        if rate and (self.frame_index + 1) % rate == 0:
             self.insert_intra()
         self.frame_index += 1
         return chunk
@@ -203,7 +208,9 @@ class Evx1Encoder:
 
 
 class Evx1Decoder:
-    def __init__(self):
+    def __init__(self, config=None):
+        from ..config import CONFORMANCE
+        self.config = config if config is not None else CONFORMANCE
         self._ctx: engine.CodecContext | None = None
         self.frame_index = 0
         self.width = 0
@@ -212,8 +219,11 @@ class Evx1Decoder:
     def decode(self, chunk: bytes) -> np.ndarray:
         src = BitReader(chunk)
         if self._ctx is None:
-            self.width, self.height = parse_header(src.read_bytes(HEADER_SIZE))
-            self._ctx = engine.CodecContext(self.width, self.height)
+            self.width, self.height = parse_header(
+                src.read_bytes(HEADER_SIZE),
+                self.config.reference_frame_count)
+            self._ctx = engine.CodecContext(self.width, self.height,
+                                            self.config)
         ftype, index, quality = struct.unpack(
             _FRAME_FMT, src.read_bytes(FRAME_DESC_SIZE))
         if index != self.frame_index:

@@ -35,7 +35,9 @@ def _alloc_planes(width: int, height: int) -> Planes:
 class CodecContext:
     """Shared encoder/decoder state (common.h:104-131)."""
 
-    def __init__(self, width: int, height: int):
+    def __init__(self, width: int, height: int, config=None):
+        from ..config import CONFORMANCE
+        self.config = config if config is not None else CONFORMANCE
         self.aligned_w = (width + MB - 1) // MB * MB
         self.aligned_h = (height + MB - 1) // MB * MB
         self.width_in_blocks = self.aligned_w // MB
@@ -106,20 +108,38 @@ def encode_block(ctx: CodecContext, frame_type: int, frame_index: int,
         residual = tuple(as_int16(a.astype(np.int32) - b.astype(np.int32))
                          for a, b in zip(src, pred))
     ty, tu, tv = _transform_mb(*residual)
-    qp = int(quant_mod.adaptive_qp(quality, ty[None])[0])
-    desc["q_index"] = qp
+    cfg = ctx.config
     desc["variance"] = int(np.int16(quant_mod.block_variance2(ty[None])[0]))
-
-    intra_qm = is_intra(block_type) and not is_motion(block_type)
     quads = _mb_quads(ty)
-    if intra_qm:
-        qy = quant_mod.quantize_intra_8x8(quads, [qp] * 4, is_luma=True)
-        qu = quant_mod.quantize_intra_8x8(tu[None], [qp], is_luma=False)[0]
-        qv = quant_mod.quantize_intra_8x8(tv[None], [qp], is_luma=False)[0]
+    intra_qm = is_intra(block_type) and not is_motion(block_type)
+
+    if not cfg.quantization_enabled:  # quantize.cpp:62-77 #else: qp = 0
+        desc["q_index"] = 0
+        qy, qu, qv = quads, tu, tv
     else:
-        qy = quant_mod.quantize_inter_8x8(quads, [qp] * 4)
-        qu = quant_mod.quantize_inter_8x8(tu[None], [qp])[0]
-        qv = quant_mod.quantize_inter_8x8(tv[None], [qp])[0]
+        if cfg.adaptive_quantization:
+            qp = int(quant_mod.adaptive_qp(quality, ty[None])[0])
+        else:  # query_block_quantization_parameter #else: frame quality
+            qp = int(quality)
+        desc["q_index"] = qp
+        r = cfg.rounded_quantization
+        if cfg.linear_quantization:  # H.263 path (config.h:48)
+            qfn = (quant_mod.quantize_intra_linear_8x8 if intra_qm
+                   else quant_mod.quantize_inter_linear_8x8)
+            qy = qfn(quads, [qp] * 4, rounded=r)
+            qu = qfn(tu[None], [qp], rounded=r)[0]
+            qv = qfn(tv[None], [qp], rounded=r)[0]
+        elif intra_qm:
+            qy = quant_mod.quantize_intra_8x8(quads, [qp] * 4, is_luma=True,
+                                              rounded=r)
+            qu = quant_mod.quantize_intra_8x8(tu[None], [qp], is_luma=False,
+                                              rounded=r)[0]
+            qv = quant_mod.quantize_intra_8x8(tv[None], [qp], is_luma=False,
+                                              rounded=r)[0]
+        else:
+            qy = quant_mod.quantize_inter_8x8(quads, [qp] * 4, rounded=r)
+            qu = quant_mod.quantize_inter_8x8(tu[None], [qp], rounded=r)[0]
+            qv = quant_mod.quantize_inter_8x8(tv[None], [qp], rounded=r)[0]
 
     oy, ou, ov = ctx.output.block(i, j)
     oy[:] = _quads_to_mb(qy)
@@ -144,10 +164,17 @@ def decode_block(ctx: CodecContext, source: Planes, frame_index: int,
         return
 
     sy, su, sv = source.block(i, j)
+    cfg = ctx.config
     qp = int(desc["q_index"])
     quads = _mb_quads(sy)
     intra_qm = is_intra(block_type) and not is_motion(block_type)
-    if intra_qm:
+    if not cfg.quantization_enabled:
+        iy, iu, iv = quads, su, sv
+    elif cfg.linear_quantization:
+        iy = quant_mod.inverse_quantize_linear_8x8(quads, [qp] * 4)
+        iu = quant_mod.inverse_quantize_linear_8x8(su[None], [qp])[0]
+        iv = quant_mod.inverse_quantize_linear_8x8(sv[None], [qp])[0]
+    elif intra_qm:
         iy = quant_mod.inverse_quantize_intra_8x8(quads, [qp] * 4, is_luma=True)
         iu = quant_mod.inverse_quantize_intra_8x8(su[None], [qp], is_luma=False)[0]
         iv = quant_mod.inverse_quantize_intra_8x8(sv[None], [qp], is_luma=False)[0]
@@ -177,7 +204,7 @@ def classify_block(ctx: CodecContext, frame_type: int, frame_index: int,
     intra_pred = ctx.recon[ctx.ring_slot(frame_index, 0)]
     best_sad, best = motion_mod.intra_prediction(quality, src, i, j, intra_pred)
     if frame_type == FRAME_INTER:
-        for offset in range(1, tables.REFERENCE_FRAME_COUNT):
+        for offset in range(1, ctx.config.reference_frame_count):
             pred = ctx.recon[ctx.ring_slot(frame_index, offset)]
             sad, desc = motion_mod.inter_prediction(quality, src, i, j, pred,
                                                     offset)
@@ -239,6 +266,8 @@ def decode_slice(ctx: CodecContext, frame_index: int):
 
 
 def deblock_recon(ctx: CodecContext, frame_index: int):
+    if not ctx.config.enable_deblocking:
+        return
     slot = ctx.ring_slot(frame_index, 0)
     planes = ctx.recon[slot]
     deblock_mod.deblock_image_set(planes.y, planes.u, planes.v,
@@ -250,12 +279,17 @@ def load_input(ctx: CodecContext, rgb: np.ndarray):
     height, width = rgb.shape[:2]
     y, u, v = rgb_to_yuv420(rgb)
     ctx.input.y[:height, :width] = y
-    ctx.input.u[:height // 2, :width // 2] = u
-    ctx.input.v[:height // 2, :width // 2] = v
+    if ctx.config.enable_chroma:
+        ctx.input.u[:height // 2, :width // 2] = u
+        ctx.input.v[:height // 2, :width // 2] = v
 
 
 def recon_to_rgb(ctx: CodecContext, frame_index: int, width: int,
                  height: int) -> np.ndarray:
     slot = ctx.ring_slot(frame_index, 0)
     planes = ctx.recon[slot]
+    if not ctx.config.enable_chroma:  # convert.cpp:20-28 grayscale mode
+        yy = planes.y[:height, :width].astype(np.int32) - 16
+        g = np.clip((256 * yy + 128) >> 8, 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
     return yuv420_to_rgb(planes.y, planes.u, planes.v, width, height)

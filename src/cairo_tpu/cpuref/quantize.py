@@ -24,23 +24,33 @@ def _qp_col(qp):
     return np.asarray(qp, dtype=np.int32).reshape(-1, 1, 1)
 
 
-def quantize_intra_8x8(blocks: np.ndarray, qp, is_luma: bool) -> np.ndarray:
+def _fdiv(n, d, rounded):
+    """Forward-quantization division: EVX_ROUNDED_QUANTIZATION selects
+    round-half-away (quantize.cpp:88-173) vs plain truncation."""
+    return rounded_div(n, d) if rounded else trunc_div(n, d)
+
+
+def quantize_intra_8x8(blocks: np.ndarray, qp, is_luma: bool,
+                       rounded: bool = True) -> np.ndarray:
     """quantize_{luma,chroma}_intra_block_8x8 (quantize.cpp:79-129)."""
     v = blocks.astype(np.int32)
     qp = _qp_col(qp)
-    out = as_int16(rounded_div(rounded_div(v * _SCALE, _INTRA_QM), qp << 1))
+    out = as_int16(_fdiv(_fdiv(v * _SCALE, _INTRA_QM, rounded), qp << 1,
+                         rounded))
     dc_scale = (tables.luma_dc_scale if is_luma else tables.chroma_dc_scale)(
         np.asarray(qp, dtype=np.int16).reshape(-1))
-    out[:, 0, 0] = as_int16(rounded_div(v[:, 0, 0], dc_scale.astype(np.int32)))
+    out[:, 0, 0] = as_int16(_fdiv(v[:, 0, 0], dc_scale.astype(np.int32),
+                                  rounded))
     return out
 
 
-def quantize_inter_8x8(blocks: np.ndarray, qp) -> np.ndarray:
+def quantize_inter_8x8(blocks: np.ndarray, qp,
+                       rounded: bool = True) -> np.ndarray:
     """Dead-zone inter quantization (quantize.cpp:146-163)."""
     v = blocks.astype(np.int32)
     qp = _qp_col(qp)
-    qfactor = as_int16(rounded_div(v * _SCALE, _INTER_QM)).astype(np.int32)
-    return as_int16(rounded_div(qfactor - sign(qfactor) * qp, qp << 1))
+    qfactor = as_int16(_fdiv(v * _SCALE, _INTER_QM, rounded)).astype(np.int32)
+    return as_int16(_fdiv(qfactor - sign(qfactor) * qp, qp << 1, rounded))
 
 
 def inverse_quantize_intra_8x8(blocks: np.ndarray, qp, is_luma: bool) -> np.ndarray:
@@ -60,18 +70,20 @@ def inverse_quantize_inter_8x8(blocks: np.ndarray, qp) -> np.ndarray:
     return as_int16(trunc_div(2 * v * _INTER_QM * qp, _SCALE))
 
 
-def quantize_intra_linear_8x8(blocks: np.ndarray, qp) -> np.ndarray:
+def quantize_intra_linear_8x8(blocks: np.ndarray, qp,
+                              rounded: bool = True) -> np.ndarray:
     """H.263-style linear intra quantization (quantize.cpp:131-144; library
     parity — compiled out in the reference default config)."""
-    return as_int16(rounded_div(blocks.astype(np.int32), _qp_col(qp) << 1))
+    return as_int16(_fdiv(blocks.astype(np.int32), _qp_col(qp) << 1, rounded))
 
 
-def quantize_inter_linear_8x8(blocks: np.ndarray, qp) -> np.ndarray:
+def quantize_inter_linear_8x8(blocks: np.ndarray, qp,
+                              rounded: bool = True) -> np.ndarray:
     """quantize.cpp:165-180."""
     v = blocks.astype(np.int32)
     qp = _qp_col(qp)
     qm = np.abs(v) - (qp >> 1)
-    return as_int16(as_int16(rounded_div(qm, qp << 1)).astype(np.int32) * sign(v))
+    return as_int16(as_int16(_fdiv(qm, qp << 1, rounded)).astype(np.int32) * sign(v))
 
 
 def inverse_quantize_linear_8x8(blocks: np.ndarray, qp) -> np.ndarray:

@@ -61,7 +61,13 @@ def _state_from_arrays(arrays):
 
 
 class TpuEncoder:
-    def __init__(self):
+    def __init__(self, config=None):
+        from ..config import CONFORMANCE
+        self.config = config if config is not None else CONFORMANCE
+        if not self.config.tpu_supported:
+            raise NotImplementedError(
+                "this CodecConfig combination runs on the cpuref engine "
+                "(cairo_tpu.cpuref.api.Evx1Encoder)")
         self._state = None
         self._last_out = None
         self._last_rgb = None
@@ -69,7 +75,7 @@ class TpuEncoder:
         self._stale_var = None
         self.frame_type = FRAME_INTRA
         self.frame_index = 0
-        self.quality = tables.DEFAULT_QUALITY
+        self.quality = self.config.default_quality
         self.width = self.height = 0
         self.last_stats = None
 
@@ -91,7 +97,8 @@ class TpuEncoder:
             self._coef_y = np.zeros((self._ah, self._aw), np.int16)
             self._coef_u = np.zeros((self._ah // 2, self._aw // 2), np.int16)
             self._coef_v = np.zeros((self._ah // 2, self._aw // 2), np.int16)
-            header = pack_header(width, height)
+            header = pack_header(width, height,
+                                 self.config.reference_frame_count)
         if (width, height) != (self.width, self.height):
             raise ValueError("frame dimensions changed mid-stream")
         return header
@@ -110,16 +117,20 @@ class TpuEncoder:
             self._state, out = engine.encode_step(
                 src_wire, self._state, aligned_w=self._aw,
                 aligned_h=self._ah,
-                is_inter=self.frame_type == FRAME_INTER)
+                is_inter=self.frame_type == FRAME_INTER,
+                n_refs=self.config.reference_frame_count,
+                deblock=self.config.enable_deblocking,
+                adaptive=self.config.adaptive_quantization)
         out["wire"].copy_to_host_async()  # start the D2H as compute finishes
         pending = dict(header=header, frame_desc=frame_desc, out=out,
                        frame_index=self.frame_index,
                        frame_type=self.frame_type, quality=self.quality,
                        t_dispatch=time.perf_counter())
         self._last_rgb = rgb
-        self.frame_type = FRAME_INTER
-        if tables.PERIODIC_INTRA_RATE and \
-                (self.frame_index + 1) % tables.PERIODIC_INTRA_RATE == 0:
+        if self.config.enable_inter_frames:
+            self.frame_type = FRAME_INTER
+        rate = self.config.periodic_intra_rate
+        if rate and (self.frame_index + 1) % rate == 0:
             self.insert_intra()
         self.frame_index += 1
         return pending
@@ -273,7 +284,13 @@ class TpuEncoder:
 
 
 class TpuDecoder:
-    def __init__(self):
+    def __init__(self, config=None):
+        from ..config import CONFORMANCE
+        self.config = config if config is not None else CONFORMANCE
+        if not self.config.tpu_supported:
+            raise NotImplementedError(
+                "this CodecConfig combination runs on the cpuref engine "
+                "(cairo_tpu.cpuref.api.Evx1Decoder)")
         self._state = None
         self._native = None  # sequential C++ decoder once a stream needs it
         self.frame_index = 0
@@ -295,7 +312,8 @@ class TpuDecoder:
         fallback are reconstructed synchronously here."""
         offset = 0
         if self._state is None:
-            width, height = parse_header(chunk[:HEADER_SIZE])
+            width, height = parse_header(
+                chunk[:HEADER_SIZE], self.config.reference_frame_count)
             self._init(width, height)
             offset = HEADER_SIZE
         ftype, index, quality = struct.unpack(
@@ -331,7 +349,8 @@ class TpuDecoder:
             with jax.profiler.TraceAnnotation("cairo_tpu.decode_step"):
                 self._state, yuv = engine.decode_step_coo(
                     in_wire, self._state,
-                    aligned_w=self._aw, aligned_h=self._ah)
+                    aligned_w=self._aw, aligned_h=self._ah,
+                    deblock=self.config.enable_deblocking)
             yuv.copy_to_host_async()
             return dict(kind="wire", yuv=yuv, index=index,
                         t0=t0, t_ent=t_ent)
@@ -346,7 +365,8 @@ class TpuDecoder:
                     coef_v=self._coef_v)
         self._state, rgb = engine.decode_step(
             table, coef, self._state, index, width=self.width,
-            height=self.height, aligned_w=self._aw, aligned_h=self._ah)
+            height=self.height, aligned_w=self._aw, aligned_h=self._ah,
+            deblock=self.config.enable_deblocking)
         return dict(kind="dense", rgb=rgb)
 
     def _finish_decode(self, pending) -> np.ndarray:
@@ -438,6 +458,10 @@ class TpuDecoder:
         full ring syncs over the device link would cost more than it
         saves."""
         if self._native is None:
+            if not self.config.is_conformance:
+                raise NotImplementedError(
+                    "sequential fallback (intra-motion streams) supports "
+                    "the conformance config only")
             self._native = native.NativeDecoder(self._aw, self._ah)
             ring_y = np.asarray(jax.device_get(self._state["ring_y"]))
             ring_u = np.asarray(jax.device_get(self._state["ring_u"]))

@@ -81,7 +81,7 @@ def _gather_pred(state, frame_index, target, mx, my, sp_pred, sp_amount,
 
 
 def _classify_inter(src, src_planes, ring, state_wins, px, py, quality,
-                    frame_index):
+                    frame_index, n_refs=RING):
     """Inter-frame classification (encode.cpp:17-67, fast mode).
 
     The three reference-offset searches run as one lax.scan so the search
@@ -122,14 +122,17 @@ def _classify_inter(src, src_planes, ring, state_wins, px, py, quality,
             sp_index=jnp.where(take, cand["sp_index"], best["sp_index"]))
         return new, None
 
-    best, _ = jax.lax.scan(body, best, jnp.arange(1, RING, dtype=jnp.int32))
+    best, _ = jax.lax.scan(body, best, jnp.arange(1, n_refs,
+                                                  dtype=jnp.int32))
     return best
 
 
 @functools.partial(jax.jit, static_argnames=("aligned_w", "aligned_h",
-                                             "is_inter"),
+                                             "is_inter", "n_refs",
+                                             "deblock", "adaptive"),
                    donate_argnums=(1,))
-def encode_step(src_wire, state, *, aligned_w, aligned_h, is_inter):
+def encode_step(src_wire, state, *, aligned_w, aligned_h, is_inter,
+                n_refs=RING, deblock=True, adaptive=True):
     """One frame through the device pipeline. The input is the 9-bit YUV
     source wire (host-converted, frame-edge masking already applied — see
     native.rgb_to_yuv9) prefixed with an 8-byte [frame_index, quality]
@@ -154,7 +157,7 @@ def encode_step(src_wire, state, *, aligned_w, aligned_h, is_inter):
         best = _classify_inter(
             src, (y_in, u_in, v_in), ring,
             (state["win_y"], state["win_u"], state["win_v"]), px, py,
-            quality, frame_index)
+            quality, frame_index, n_refs)
     else:
         best = dict(
             sad=jnp.zeros(n, jnp.int32),
@@ -184,7 +187,10 @@ def encode_step(src_wire, state, *, aligned_w, aligned_h, is_inter):
 
     # --- adaptive QP + quantization
     variance = ops.block_variance2(ty)  # XLA CSEs with adaptive_qp's copy
-    qp = ops.adaptive_qp(quality, ty)
+    if adaptive:
+        qp = ops.adaptive_qp(quality, ty)
+    else:  # quantize.cpp:60-77 #else branch: the frame quality everywhere
+        qp = jnp.full(n, quality, jnp.int32)
     qp4 = jnp.repeat(qp, 4)
     quads = ops.mb_quads(ty).reshape(-1, 8, 8)
     intra_qm = best["is_intra"] & ~best["is_motion"]  # INTRA_DEFAULT only
@@ -237,11 +243,12 @@ def encode_step(src_wire, state, *, aligned_w, aligned_h, is_inter):
     rec_v = ops.blocks_to_plane(rec[2], aligned_h // 2, aligned_w // 2)
 
     # --- in-loop deblock on the new recon
-    copy_map = copy_mb.reshape(hb, wb)
-    q_map = qp.reshape(hb, wb)
-    q_map = jnp.where(copy_map, 0, q_map)  # q of copy blocks not serialized
-    rec_y, rec_u, rec_v = deblock_mod.deblock_frame(rec_y, rec_u, rec_v,
-                                                    copy_map, q_map)
+    if deblock:
+        copy_map = copy_mb.reshape(hb, wb)
+        q_map = qp.reshape(hb, wb)
+        q_map = jnp.where(copy_map, 0, q_map)  # q of copy blocks unsent
+        rec_y, rec_u, rec_v = deblock_mod.deblock_frame(rec_y, rec_u, rec_v,
+                                                        copy_map, q_map)
 
     slot = frame_index % RING
     nwy, nwu, nwv = motion_mod.pred_windows((rec_y, rec_u, rec_v))
@@ -279,7 +286,7 @@ def encode_step(src_wire, state, *, aligned_w, aligned_h, is_inter):
 
 
 def _decode_common(table, coef_y, coef_u, coef_v, state, frame_index,
-                   aligned_w, aligned_h):
+                   aligned_w, aligned_h, deblock=True):
     """Shared reconstruction body (decode.cpp:15-144 for fast-mode streams).
     coef planes: int32-valued; returns (new_state, rec_y, rec_u, rec_v)."""
     px, py, wb, hb = _mb_coords(aligned_w, aligned_h)
@@ -329,10 +336,11 @@ def _decode_common(table, coef_y, coef_u, coef_v, state, frame_index,
     rec_u = ops.blocks_to_plane(rec[1], aligned_h // 2, aligned_w // 2)
     rec_v = ops.blocks_to_plane(rec[2], aligned_h // 2, aligned_w // 2)
 
-    copy_map = is_copy.reshape(hb, wb)
-    q_map = jnp.where(copy_map, 0, qp.reshape(hb, wb))
-    rec_y, rec_u, rec_v = deblock_mod.deblock_frame(rec_y, rec_u, rec_v,
-                                                    copy_map, q_map)
+    if deblock:
+        copy_map = is_copy.reshape(hb, wb)
+        q_map = jnp.where(copy_map, 0, qp.reshape(hb, wb))
+        rec_y, rec_u, rec_v = deblock_mod.deblock_frame(rec_y, rec_u, rec_v,
+                                                        copy_map, q_map)
 
     slot = frame_index % RING
     nwy, nwu, nwv = motion_mod.pred_windows((rec_y, rec_u, rec_v))
@@ -356,26 +364,27 @@ def _decode_common(table, coef_y, coef_u, coef_v, state, frame_index,
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "aligned_w",
-                                             "aligned_h"),
+                                             "aligned_h", "deblock"),
                    donate_argnums=(2,))
 def decode_step(table, coef, state, frame_index, *, width, height,
-                aligned_w, aligned_h):
+                aligned_w, aligned_h, deblock=True):
     """Parallel reconstruction of one parsed frame from dense coefficient
     planes, returning host RGB (no intra-motion blocks; the host checks that
     precondition and falls back otherwise)."""
     new_state, rec_y, rec_u, rec_v = _decode_common(
         table, coef["coef_y"].astype(jnp.int32),
         coef["coef_u"].astype(jnp.int32), coef["coef_v"].astype(jnp.int32),
-        state, frame_index, aligned_w, aligned_h)
+        state, frame_index, aligned_w, aligned_h, deblock)
     rgb = ops.yuv420_to_rgb(rec_y[:height, :width],
                             rec_u[:(height + 1) // 2, :(width + 1) // 2],
                             rec_v[:(height + 1) // 2, :(width + 1) // 2])
     return new_state, rgb
 
 
-@functools.partial(jax.jit, static_argnames=("aligned_w", "aligned_h"),
+@functools.partial(jax.jit, static_argnames=("aligned_w", "aligned_h",
+                                             "deblock"),
                    donate_argnums=(1,))
-def decode_step_coo(in_wire, state, *, aligned_w, aligned_h):
+def decode_step_coo(in_wire, state, *, aligned_w, aligned_h, deblock=True):
     """Transfer-optimized decode: one packed upload (8-byte header with the
     frame index + residual COO + block table), 9-bit YUV wire out (see
     tpu.wire). Coefficient planes persist in device state; copy blocks keep
@@ -409,6 +418,6 @@ def decode_step_coo(in_wire, state, *, aligned_w, aligned_h):
 
     new_state, rec_y, rec_u, rec_v = _decode_common(
         table, coef_y, coef_u, coef_v, state, frame_index,
-        aligned_w, aligned_h)
+        aligned_w, aligned_h, deblock)
     yuv = wire_mod.pack_yuv_wire(rec_y, rec_u, rec_v)
     return new_state, yuv
