@@ -51,8 +51,19 @@ def test_multi_reference_sequence():
     run_conformance(96, 64, 6, 16)
 
 
-@pytest.mark.parametrize("quality", [1, 4, 8, 24, 31])
+# includes both DC-scale breakpoints (qp<5, qp<9/<25 edges,
+# quantize.cpp:37-55) and both MAD-threshold steps
+@pytest.mark.parametrize("quality", [1, 2, 4, 5, 8, 9, 16, 24, 25, 31])
 def test_quality_sweep(quality):
+    run_conformance(64, 48, 3, quality)
+
+
+@pytest.mark.parametrize("quality", [q for q in range(1, 32)
+                                     if q not in (1, 2, 4, 5, 8, 9, 16, 24,
+                                                  25, 31)])
+def test_quality_sweep_full(quality):
+    """Target 3: bit-exactness at every quality 1-31 (the remaining
+    values; the default suite covers the breakpoint qualities)."""
     run_conformance(64, 48, 3, quality)
 
 
