@@ -283,6 +283,68 @@ class TpuEncoder:
             self._coef_v = np.array(arrays["coef_v"], np.int16)
 
 
+class ConformanceTpuEncoder:
+    """Bit-exact-vs-the-reference-encoder encoding on device (wavefront
+    anti-diagonal schedule, tpu.wavefront). Produces the same bytes as the
+    cpuref Evx1Encoder / the compiled reference at device speed."""
+
+    def __init__(self):
+        from . import wavefront
+        self._wavefront = wavefront
+        self._state = None
+        self.frame_type = FRAME_INTRA
+        self.frame_index = 0
+        self.quality = tables.DEFAULT_QUALITY
+        self.width = self.height = 0
+        self.last_stats = None
+
+    def set_quality(self, quality: int):
+        self.quality = int(clip_range(quality, 1, 31))
+
+    def insert_intra(self):
+        self.frame_type = FRAME_INTRA
+
+    def encode(self, rgb: np.ndarray) -> bytes:
+        height, width = rgb.shape[:2]
+        header = b""
+        if self._state is None:
+            self.width, self.height = width, height
+            self._aw, self._ah = _align(width), _align(height)
+            self._state = self._wavefront.init_state(self._aw, self._ah)
+            header = pack_header(width, height)
+        if (width, height) != (self.width, self.height):
+            raise ValueError("frame dimensions changed mid-stream")
+        frame_desc = struct.pack(_FRAME_FMT, self.frame_type,
+                                 self.frame_index, self.quality)
+        src_wire = native.rgb_to_yuv9(rgb, self._aw, self._ah,
+                                     self.frame_index, self.quality)
+        with jax.profiler.TraceAnnotation("cairo_tpu.wavefront_encode"):
+            self._state, out = self._wavefront.conformance_encode_step(
+                src_wire, self._state, aligned_w=self._aw,
+                aligned_h=self._ah,
+                is_inter=self.frame_type == FRAME_INTER)
+        out = jax.device_get(out)
+        bt = BlockTable(
+            block_type=out["block_type"],
+            prediction_target=out["prediction_target"],
+            motion_x=out["motion_x"], motion_y=out["motion_y"],
+            sp_pred=out["sp_pred"], sp_amount=out["sp_amount"],
+            sp_index=out["sp_index"], q_index=out["q_index"],
+            variance=out["variance"])
+        slice_bytes, _ = native.encode_slice(
+            bt, out["coef_y"], out["coef_u"], out["coef_v"])
+        chunk = header + frame_desc + slice_bytes
+        self.last_stats = metrics.frame_stats(
+            self.frame_index, self.frame_type, self.quality, len(chunk),
+            out["block_type"], out["q_index"])
+        self.frame_type = FRAME_INTER
+        if tables.PERIODIC_INTRA_RATE and \
+                (self.frame_index + 1) % tables.PERIODIC_INTRA_RATE == 0:
+            self.insert_intra()
+        self.frame_index += 1
+        return chunk
+
+
 class TpuDecoder:
     def __init__(self, config=None):
         from ..config import CONFORMANCE

@@ -1,0 +1,536 @@
+"""Conformance-mode (bit-exact vs the reference encoder) frame encoding on
+device via anti-diagonal wavefront scheduling.
+
+The reference encodes macroblocks in raster order; each block's intra
+search reads the *current* frame's partially-reconstructed pixels in the
+causal region (candidate valid iff cy <= py-16 or cx <= px-16,
+motion.cpp:238-241), and every block is reconstructed before the next is
+classified (encode.cpp:165-203). The exploitable structure:
+
+- A block's reads of the current reconstruction are bounded: candidate
+  reach is +-31 full-pel (16 initial + 8+4+2+1 refinement) plus 1 sub-pel,
+  so pixels [px-32, px+48) x [py-48, py+16) — at most block columns
+  bi-2..bi+2 of rows above, and bi-2..bi-1 of the rows at/below (via the
+  x <= px-16 branch).
+- Schedule blocks in waves w = bi + 3*bj (skew 3). Every current-frame
+  block a wave member can READ then satisfies wave < w (already written,
+  exactly as in raster order), and every raster-successor it can read
+  satisfies wave >= w, i.e. still holds the previous ring content — again
+  exactly as in raster order (waves use read-all-then-write-all
+  semantics). Members of one wave are mutually independent.
+
+At 1080p that is 321 sequential waves with up to 40-way batching instead
+of 8160 sequential blocks. Inter candidates have no raster dependency and
+are computed densely for all blocks up front with the order-exact
+hill-climb replay (motion.inter_search_exact); the classify merge
+(encode.cpp:29-54) folds them associatively, so only the intra search and
+the encode/reconstruct of each block live in the wave loop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables
+from ..blocktypes import COPY_BIT, INTRA_BIT, MOTION_BIT, sp_dir_to_index
+from . import deblock as deblock_mod
+from . import extract
+from . import motion as motion_mod
+from . import ops
+from . import wire as wire_mod
+
+MB = tables.MACROBLOCK_SIZE
+RING = tables.REFERENCE_FRAME_COUNT
+SKEW = 3
+YPAD = 48            # window reach: x in [-32, 48), y in [-48, 16)
+CPAD = 24
+INT32_MAX = np.int32(0x7FFFFFFF)
+SAD_THRESHOLD = tables.MOTION_SAD_THRESHOLD
+
+
+def wave_schedule(wb: int, hb: int):
+    """Static wave membership tables: (n_waves, P) bi/bj/valid arrays."""
+    n_waves = wb + SKEW * (hb - 1)
+    members = [[] for _ in range(n_waves)]
+    for bj in range(hb):
+        for bi in range(wb):
+            members[bi + SKEW * bj].append((bi, bj))
+    p = max(len(m) for m in members)
+    bi_t = np.zeros((n_waves, p), np.int32)
+    bj_t = np.zeros((n_waves, p), np.int32)
+    valid = np.zeros((n_waves, p), bool)
+    for w, m in enumerate(members):
+        for k, (bi, bj) in enumerate(m):
+            bi_t[w, k], bj_t[w, k], valid[w, k] = bi, bj, True
+    return bi_t, bj_t, valid
+
+
+def _merge_descs(a, b):
+    """classify_block merge (encode.cpp:36-54): copy status dominates, then
+    strictly-lower SAD; ties keep `a` (the earlier candidate)."""
+    take_on_copy = a["is_copy"] != b["is_copy"]
+    take = jnp.where(take_on_copy, b["is_copy"], b["sad"] < a["sad"])
+    out = {}
+    for k in a:
+        out[k] = jnp.where(take, b[k], a[k])
+    return out
+
+
+def _dense_inter(src_blocks, src_planes, state, frame_index, quality, n_refs):
+    """Order-exact inter candidates for all MBs, folded across ring offsets
+    1..n_refs-1; also returns the winning candidates' prediction blocks."""
+    aligned_h, aligned_w = src_planes[0].shape
+    wb = aligned_w // MB
+    n = src_blocks[0].shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    px = (idx % wb) * MB
+    py = (idx // wb) * MB
+
+    best = None
+    for offset in range(1, n_refs):
+        slot = (frame_index + RING - offset) % RING
+        ref = tuple(
+            jax.lax.dynamic_index_in_dim(state[k], slot, keepdims=False)
+            .astype(jnp.int32)
+            for k in ("ring_y", "ring_u", "ring_v"))
+        cand = motion_mod.inter_search_exact(src_blocks, ref, px, py, quality)
+        cand = dict(cand, target=jnp.full(n, offset, jnp.int32),
+                    is_intra=jnp.zeros(n, bool))
+        best = cand if best is None else _merge_descs(best, cand)
+
+    # prediction blocks for the folded winner (window extraction + sub-pel):
+    # build windows per slot and select per MB (mirrors engine._gather_pred
+    # but with the wider exact-search windows)
+    slot_per_mb = (frame_index + RING - best["target"]) % RING
+    wins = None
+    for s in range(RING):
+        planes = tuple(state[k][s].astype(jnp.int32)
+                       for k in ("ring_y", "ring_u", "ring_v"))
+        ws = motion_mod.search_windows(planes)
+        m3 = (slot_per_mb == s)[:, None, None]
+        if wins is None:
+            wins = tuple(jnp.where(m3, w, 0) for w in ws)
+        else:
+            wins = tuple(jnp.where(m3, w, o) for w, o in zip(ws, wins))
+
+    mx, my = best["motion_x"], best["motion_y"]
+    beta = motion_mod.window_blocks(wins, mx, my)
+    d = jnp.asarray(
+        [(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), (-1, 1), (0, 1),
+         (1, 1)], jnp.int32)[best["sp_index"]]
+    sp = motion_mod.window_blocks(wins, mx + d[:, 0], my + d[:, 1])
+    use_sp = best["sp_pred"][:, None, None]
+    amount = best["sp_amount"][:, None, None]
+    pred = tuple(
+        jnp.where(use_sp, jnp.where(amount, ops.lerp_quarter(b, t),
+                                    ops.lerp_half(b, t)), b)
+        for b, t in zip(beta, sp))
+    return best, pred
+
+
+def _eval_accept(sad, mad, ssd, c_sad, c_mad, c_ssd, ok, mad_thr):
+    """evaluate_motion_candidate acceptance (motion.cpp:111-149), incl. the
+    C precedence quirk on the SAD-tie branch."""
+    copy_branch = mad < mad_thr
+    acc_copy = (c_mad < mad) | ((c_mad == mad) & (c_ssd < ssd))
+    acc_plain = (c_sad < sad) | \
+        ((c_sad == sad) & (c_ssd < ssd) & (c_sad < SAD_THRESHOLD)) | \
+        (c_mad < mad_thr)
+    return ok & jnp.where(copy_branch, acc_copy, acc_plain)
+
+
+# full-pel intra candidate table: initial triangle scan (motion.cpp:381-385)
+# then halving refinement rings; ring_start re-bases on the running best
+def _intra_offsets():
+    rows = []
+    for j in (-32, -16, 0):
+        for i in (-16, 0, 16):
+            rows.append((i, j, 1 if (i, j) == (-16, -32) else 0))
+    for step in (8, 4, 2, 1):
+        for j in (-step, 0, step):
+            for i in (-step, 0, step):
+                rows.append((i, j, 1 if (i, j) == (-step, -step) else 0))
+    return np.asarray(rows, np.int32)
+
+
+_INTRA_OFFSETS = _intra_offsets()
+_SP_DIRS = np.asarray([(di, dj, sp_dir_to_index(di, dj))
+                       for dj in (-1, 0, 1) for di in (-1, 0, 1)
+                       if (di, dj) != (0, 0)], np.int32)
+
+
+def _wave_windows(pad_y, pad_u, pad_v, px, py):
+    """(P,) member pixel coords -> causal windows around each member:
+    Y (P, 80, 80) covering [py-48, py+32) x [px-32, px+48) (candidate
+    offsets dy in [-48, 16] plus 16-px block extent), chroma halved.
+    pad planes carry a YPAD/CPAD zero margin."""
+    p = px.shape[0]
+    yws, uws, vws = [], [], []
+    for k in range(p):
+        # padded coords: window row 0 = py-48+YPAD = py
+        yws.append(jax.lax.dynamic_slice(pad_y, (py[k], px[k] + 16),
+                                         (80, 80)))
+        cy, cx = py[k] // 2, px[k] // 2
+        uws.append(jax.lax.dynamic_slice(pad_u, (cy, cx + 8), (40, 40)))
+        vws.append(jax.lax.dynamic_slice(pad_v, (cy, cx + 8), (40, 40)))
+    return jnp.stack(yws), jnp.stack(uws), jnp.stack(vws)
+
+
+def _extract_cand(ywin, uwin, vwin, dx, dy):
+    """Candidate blocks at member-relative offsets (dx in [-32,32],
+    dy in [-48,16)) from the causal windows."""
+    yb = extract.extract_blocks(ywin, dx + 32, dy + 48, MB)
+    ub = extract.extract_blocks(uwin, (dx >> 1) + 16, (dy >> 1) + 24, MB // 2)
+    vb = extract.extract_blocks(vwin, (dx >> 1) + 16, (dy >> 1) + 24, MB // 2)
+    return yb, ub, vb
+
+
+def _sad(a, b):
+    return jnp.abs(a - b).sum(axis=(1, 2), dtype=jnp.int32)
+
+
+def _mad3(s, c):
+    m = jnp.abs(s[0] - c[0]).max(axis=(1, 2))
+    m = jnp.maximum(m, jnp.abs(s[1] - c[1]).max(axis=(1, 2)))
+    return jnp.maximum(m, jnp.abs(s[2] - c[2]).max(axis=(1, 2))).astype(jnp.int32)
+
+
+def _intra_search_wave(ywin, uwin, vwin, srcb, px, py, self_sad, quality,
+                       aligned_w, aligned_h):
+    """Exact replay of calculate_intra_prediction for one wave's members."""
+    p = px.shape[0]
+    mad_thr = (jnp.int32(quality) >> 2) + 1
+
+    def causal_ok(dx, dy):
+        cx, cy = px + dx, py + dy
+        causal = (cy <= py - MB) | (cx <= px - MB)
+        bounds = (cx >= 0) & (cx <= aligned_w - MB) & \
+                 (cy >= 0) & (cy <= aligned_h - MB)
+        return causal & bounds
+
+    def body(carry, off):
+        bx, by, sad, mad, ssd, base_x, base_y = carry
+        base_x = jnp.where(off[2] == 1, bx, base_x)
+        base_y = jnp.where(off[2] == 1, by, base_y)
+        dx, dy = base_x + off[0], base_y + off[1]
+        ok = causal_ok(dx, dy)
+        cand = _extract_cand(ywin, uwin, vwin, dx, dy)
+        c_sad = _sad(srcb[0], cand[0])
+        c_mad = _mad3(srcb, cand)
+        c_ssd = dx * dx + dy * dy
+        acc = _eval_accept(sad, mad, ssd, c_sad, c_mad, c_ssd, ok, mad_thr)
+        bx = jnp.where(acc, dx, bx)
+        by = jnp.where(acc, dy, by)
+        sad = jnp.where(acc, c_sad, sad)
+        mad = jnp.where(acc, c_mad, mad)
+        ssd = jnp.where(acc, c_ssd, ssd)
+        return (bx, by, sad, mad, ssd, base_x, base_y), None
+
+    zero = jnp.zeros(p, jnp.int32)
+    carry = (zero, zero, self_sad, jnp.full(p, INT32_MAX), jnp.full(p, INT32_MAX),
+             zero, zero)
+    (bx, by, sad, mad, ssd, _, _), _ = jax.lax.scan(
+        body, carry, jnp.asarray(_INTRA_OFFSETS))
+
+    best_block = _extract_cand(ywin, uwin, vwin, bx, by)
+
+    def sp_body(carry, drow):
+        sad, mad, sp_en, sp_am, sp_ix = carry
+        di, dj = drow[0], drow[1]
+        tx, ty = bx + di, by + dj
+        ok = causal_ok(tx, ty)
+        test = _extract_cand(ywin, uwin, vwin, tx, ty)
+        for amount, lerp in ((False, ops.lerp_half), (True, ops.lerp_quarter)):
+            cand = tuple(lerp(a, b) for a, b in zip(best_block, test))
+            c_sad = _sad(srcb[0], cand[0])
+            c_mad = _mad3(srcb, cand)
+            copy_branch = mad < mad_thr
+            acc = ok & jnp.where(copy_branch, c_mad < mad,
+                                 ((c_sad < sad) & (c_sad < SAD_THRESHOLD))
+                                 | (c_mad < mad_thr))
+            sp_en = jnp.where(acc, True, sp_en)
+            sp_am = jnp.where(acc, amount, sp_am)
+            sp_ix = jnp.where(acc, drow[2], sp_ix)
+            sad = jnp.where(acc, c_sad, sad)
+            mad = jnp.where(acc, c_mad, mad)
+        return (sad, mad, sp_en, sp_am, sp_ix), None
+
+    carry = (sad, mad, jnp.zeros(p, bool), jnp.zeros(p, bool), zero)
+    (sad, mad, sp_en, sp_am, sp_ix), _ = jax.lax.scan(
+        sp_body, carry, jnp.asarray(_SP_DIRS))
+
+    is_motion = (bx != 0) | (by != 0) | sp_en
+    is_copy = mad < mad_thr
+    desc = dict(sad=sad, is_copy=is_copy, is_motion=is_motion,
+                is_intra=jnp.ones(p, bool), target=jnp.zeros(p, jnp.int32),
+                motion_x=bx, motion_y=by, sp_pred=sp_en, sp_amount=sp_am,
+                sp_index=sp_ix)
+    # intra prediction block at the final selection (for encode/recon)
+    d = jnp.asarray(
+        [(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), (-1, 1), (0, 1),
+         (1, 1)], jnp.int32)[sp_ix]
+    sp_blk = _extract_cand(ywin, uwin, vwin, bx + d[:, 0], by + d[:, 1])
+    use_sp = sp_en[:, None, None]
+    amount = sp_am[:, None, None]
+    pred = tuple(
+        jnp.where(use_sp, jnp.where(amount, ops.lerp_quarter(b, t),
+                                    ops.lerp_half(b, t)), b)
+        for b, t in zip(best_block, sp_blk))
+    return desc, pred
+
+
+@functools.partial(jax.jit, static_argnames=("aligned_w", "aligned_h",
+                                             "is_inter", "n_refs"),
+                   donate_argnums=(1,))
+def conformance_encode_step(src_wire, state, *, aligned_w, aligned_h,
+                            is_inter, n_refs=RING):
+    """One frame, bit-exact vs the reference encoder (wavefront schedule).
+
+    state: ring planes + coefficient planes + stale q/variance table fields.
+    Returns (new_state, outputs) with the block table and coeff planes."""
+    wb, hb = aligned_w // MB, aligned_h // MB
+    n = wb * hb
+
+    hdr = jax.lax.bitcast_convert_type(src_wire[:8].reshape(2, 4), jnp.int32)
+    frame_index, quality = hdr[0], hdr[1]
+    y_in, u_in, v_in = wire_mod.unpack_yuv9(src_wire[8:], aligned_h,
+                                            aligned_w)
+    src_blocks = (ops.plane_to_blocks(y_in, MB),
+                  ops.plane_to_blocks(u_in, MB // 2),
+                  ops.plane_to_blocks(v_in, MB // 2))
+    self_sad_all = jnp.abs(src_blocks[0]).sum(axis=(1, 2), dtype=jnp.int32)
+    mad_thr = (jnp.int32(quality) >> 2) + 1
+
+    if is_inter:
+        inter_best, inter_pred = _dense_inter(
+            src_blocks, (y_in, u_in, v_in), state, frame_index, quality,
+            n_refs)
+    else:
+        inter_best = inter_pred = None
+
+    # current ring slot (the frame being written) and its padded planes
+    slot = frame_index % RING
+    cur_y = jax.lax.dynamic_index_in_dim(state["ring_y"], slot,
+                                         keepdims=False).astype(jnp.int32)
+    cur_u = jax.lax.dynamic_index_in_dim(state["ring_u"], slot,
+                                         keepdims=False).astype(jnp.int32)
+    cur_v = jax.lax.dynamic_index_in_dim(state["ring_v"], slot,
+                                         keepdims=False).astype(jnp.int32)
+    pad_y = jnp.pad(cur_y, YPAD)
+    pad_u = jnp.pad(cur_u, CPAD)
+    pad_v = jnp.pad(cur_v, CPAD)
+
+    # colocated blocks of the INTER_COPY target are part of inter_pred
+    # (mx=my=0 there), so no special path is needed.
+
+    bi_t, bj_t, valid_t = wave_schedule(wb, hb)
+    n_waves, p = bi_t.shape
+    bi_t = jnp.asarray(bi_t)
+    bj_t = jnp.asarray(bj_t)
+    valid_t = jnp.asarray(valid_t)
+
+    table0 = dict(
+        block_type=jnp.zeros(n, jnp.int32),
+        prediction_target=jnp.zeros(n, jnp.int32),
+        motion_x=jnp.zeros(n, jnp.int32), motion_y=jnp.zeros(n, jnp.int32),
+        sp_pred=jnp.zeros(n, bool), sp_amount=jnp.zeros(n, bool),
+        sp_index=jnp.zeros(n, jnp.int32),
+        q_index=state["stale_q"].astype(jnp.int32),
+        variance=state["stale_var"].astype(jnp.int32),
+    )
+    coef0 = (state["coef_y"].astype(jnp.int32),
+             state["coef_u"].astype(jnp.int32),
+             state["coef_v"].astype(jnp.int32))
+
+    def wave_body(w, carry):
+        pad_y, pad_u, pad_v, coef_y, coef_u, coef_v, table = carry
+        bi = jax.lax.dynamic_index_in_dim(bi_t, w, keepdims=False)
+        bj = jax.lax.dynamic_index_in_dim(bj_t, w, keepdims=False)
+        valid = jax.lax.dynamic_index_in_dim(valid_t, w, keepdims=False)
+        px, py = bi * MB, bj * MB
+        m = bj * wb + bi  # member MB indices (P,)
+
+        ywin, uwin, vwin = _wave_windows(pad_y, pad_u, pad_v, px, py)
+        srcb = tuple(jnp.take(s, m, axis=0) for s in src_blocks)
+        self_sad = jnp.take(self_sad_all, m)
+
+        intra_desc, intra_pred = _intra_search_wave(
+            ywin, uwin, vwin, srcb, px, py, self_sad, quality,
+            aligned_w, aligned_h)
+
+        if is_inter:
+            inter_m = {k: jnp.take(v, m, axis=0) for k, v in
+                       inter_best.items()}
+            desc = _merge_descs(intra_desc, inter_m)
+            ip = tuple(jnp.take(v, m, axis=0) for v in inter_pred)
+            pred = tuple(
+                jnp.where(desc["is_intra"][:, None, None], a, b)
+                for a, b in zip(intra_pred, ip))
+        else:
+            desc = intra_desc
+            pred = intra_pred
+
+        intra_default = desc["is_intra"] & ~desc["is_motion"]
+        use_pred = ~intra_default
+        pred = tuple(jnp.where(use_pred[:, None, None], pr, 0)
+                     for pr in pred)
+
+        # ---- encode path (encode.cpp:69-163)
+        res = tuple(ops.wrap16(s - pr) for s, pr in zip(srcb, pred))
+        ty = ops.quads_to_mb(ops.fdct8(ops.mb_quads(res[0])))
+        tu = ops.fdct8(res[1])
+        tv = ops.fdct8(res[2])
+        variance = ops.wrap16(ops.block_variance2(ty))
+        qp = ops.adaptive_qp(quality, ty).astype(jnp.int32)
+        qp4 = jnp.repeat(qp, 4)
+        quads = ops.mb_quads(ty).reshape(-1, 8, 8)
+        qm4 = jnp.repeat(intra_default, 4)[:, None, None]
+        qy = jnp.where(qm4, ops.quantize_8x8(quads, qp4, True, True),
+                       ops.quantize_8x8(quads, qp4, False, True))
+        qu = jnp.where(intra_default[:, None, None],
+                       ops.quantize_8x8(tu, qp, True, False),
+                       ops.quantize_8x8(tu, qp, False, False))
+        qv = jnp.where(intra_default[:, None, None],
+                       ops.quantize_8x8(tv, qp, True, False),
+                       ops.quantize_8x8(tv, qp, False, False))
+        qy_mb = ops.quads_to_mb(qy.reshape(-1, 4, 8, 8))
+
+        # ---- reconstruction (decode.cpp:15-144)
+        dqy = jnp.where(qm4, ops.dequantize_8x8(qy, qp4, True, True),
+                        ops.dequantize_8x8(qy, qp4, False, True))
+        dqu = jnp.where(intra_default[:, None, None],
+                        ops.dequantize_8x8(qu, qp, True, False),
+                        ops.dequantize_8x8(qu, qp, False, False))
+        dqv = jnp.where(intra_default[:, None, None],
+                        ops.dequantize_8x8(qv, qp, True, False),
+                        ops.dequantize_8x8(qv, qp, False, False))
+        ry = ops.quads_to_mb(ops.idct8(dqy.reshape(-1, 4, 8, 8)))
+        ru = ops.idct8(dqu)
+        rv = ops.idct8(dqv)
+        copy3 = desc["is_copy"][:, None, None]
+        rec = tuple(jnp.where(copy3, pr, ops.wrap16(r + pr))
+                    for r, pr in zip((ry, ru, rv), pred))
+
+        # ---- writes: padding members scatter out of range (dropped);
+        # the wave-0/last waves pad with (0,0) whose index collides with a
+        # real member otherwise
+        mw = jnp.where(valid, m, n)
+        keep_q = desc["is_copy"]
+        new_table = dict(
+            block_type=table["block_type"].at[mw].set(
+                desc["is_intra"].astype(jnp.int32) * INTRA_BIT
+                | desc["is_motion"].astype(jnp.int32) * MOTION_BIT
+                | desc["is_copy"].astype(jnp.int32) * COPY_BIT,
+                mode="drop"),
+            prediction_target=table["prediction_target"].at[mw].set(
+                desc["target"], mode="drop"),
+            motion_x=table["motion_x"].at[mw].set(
+                desc["motion_x"], mode="drop"),
+            motion_y=table["motion_y"].at[mw].set(
+                desc["motion_y"], mode="drop"),
+            sp_pred=table["sp_pred"].at[mw].set(
+                desc["sp_pred"], mode="drop"),
+            sp_amount=table["sp_amount"].at[mw].set(
+                desc["sp_amount"], mode="drop"),
+            sp_index=table["sp_index"].at[mw].set(
+                desc["sp_index"], mode="drop"),
+            q_index=table["q_index"].at[mw].set(
+                jnp.where(keep_q, jnp.take(table["q_index"], m), qp),
+                mode="drop"),
+            variance=table["variance"].at[mw].set(
+                jnp.where(keep_q, jnp.take(table["variance"], m),
+                          variance), mode="drop"),
+        )
+
+        write_coef = valid & ~desc["is_copy"]
+        for k in range(p):
+            # coefficient planes (unpadded coords)
+            oldy = jax.lax.dynamic_slice(coef_y, (py[k], px[k]), (MB, MB))
+            coef_y = jax.lax.dynamic_update_slice(
+                coef_y, jnp.where(write_coef[k], qy_mb[k], oldy),
+                (py[k], px[k]))
+            cyy, cxx = py[k] // 2, px[k] // 2
+            oldu = jax.lax.dynamic_slice(coef_u, (cyy, cxx), (8, 8))
+            coef_u = jax.lax.dynamic_update_slice(
+                coef_u, jnp.where(write_coef[k], qu[k], oldu), (cyy, cxx))
+            oldv = jax.lax.dynamic_slice(coef_v, (cyy, cxx), (8, 8))
+            coef_v = jax.lax.dynamic_update_slice(
+                coef_v, jnp.where(write_coef[k], qv[k], oldv), (cyy, cxx))
+            # reconstruction (padded coords)
+            oy = jax.lax.dynamic_slice(pad_y, (py[k] + YPAD, px[k] + YPAD),
+                                       (MB, MB))
+            pad_y = jax.lax.dynamic_update_slice(
+                pad_y, jnp.where(valid[k], rec[0][k], oy),
+                (py[k] + YPAD, px[k] + YPAD))
+            ou = jax.lax.dynamic_slice(pad_u, (cyy + CPAD, cxx + CPAD),
+                                       (8, 8))
+            pad_u = jax.lax.dynamic_update_slice(
+                pad_u, jnp.where(valid[k], rec[1][k], ou),
+                (cyy + CPAD, cxx + CPAD))
+            ov = jax.lax.dynamic_slice(pad_v, (cyy + CPAD, cxx + CPAD),
+                                       (8, 8))
+            pad_v = jax.lax.dynamic_update_slice(
+                pad_v, jnp.where(valid[k], rec[2][k], ov),
+                (cyy + CPAD, cxx + CPAD))
+        return (pad_y, pad_u, pad_v, coef_y, coef_u, coef_v, new_table)
+
+    carry = (pad_y, pad_u, pad_v) + coef0 + (table0,)
+    pad_y, pad_u, pad_v, coef_y, coef_u, coef_v, table = jax.lax.fori_loop(
+        0, n_waves, wave_body, carry)
+
+    rec_y = pad_y[YPAD:YPAD + aligned_h, YPAD:YPAD + aligned_w]
+    rec_u = pad_u[CPAD:CPAD + aligned_h // 2, CPAD:CPAD + aligned_w // 2]
+    rec_v = pad_v[CPAD:CPAD + aligned_h // 2, CPAD:CPAD + aligned_w // 2]
+
+    # in-loop deblock (deblock.cpp:201-284) on the finished reconstruction
+    is_copy = (table["block_type"] & COPY_BIT) != 0
+    copy_map = is_copy.reshape(hb, wb)
+    q_map = table["q_index"].reshape(hb, wb)
+    rec_y, rec_u, rec_v = deblock_mod.deblock_frame(rec_y, rec_u, rec_v,
+                                                    copy_map, q_map)
+
+    new_state = dict(
+        ring_y=jax.lax.dynamic_update_index_in_dim(
+            state["ring_y"], rec_y.astype(jnp.int16), slot, 0),
+        ring_u=jax.lax.dynamic_update_index_in_dim(
+            state["ring_u"], rec_u.astype(jnp.int16), slot, 0),
+        ring_v=jax.lax.dynamic_update_index_in_dim(
+            state["ring_v"], rec_v.astype(jnp.int16), slot, 0),
+        coef_y=coef_y.astype(jnp.int16), coef_u=coef_u.astype(jnp.int16),
+        coef_v=coef_v.astype(jnp.int16),
+        stale_q=table["q_index"].astype(jnp.uint8),
+        stale_var=table["variance"].astype(jnp.int16),
+    )
+    outputs = dict(
+        block_type=table["block_type"].astype(jnp.uint8),
+        prediction_target=table["prediction_target"].astype(jnp.uint8),
+        motion_x=table["motion_x"].astype(jnp.int16),
+        motion_y=table["motion_y"].astype(jnp.int16),
+        sp_pred=table["sp_pred"], sp_amount=table["sp_amount"],
+        sp_index=table["sp_index"].astype(jnp.uint8),
+        # q/variance carry the stale copy-block values directly (the table
+        # persists across frames; clear_block_desc quirk, common.cpp:67-73)
+        q_index=table["q_index"].astype(jnp.uint8),
+        variance=table["variance"].astype(jnp.int16),
+        coef_y=coef_y.astype(jnp.int16), coef_u=coef_u.astype(jnp.int16),
+        coef_v=coef_v.astype(jnp.int16),
+    )
+    return new_state, outputs
+
+
+def init_state(aligned_w: int, aligned_h: int):
+    n = (aligned_w // MB) * (aligned_h // MB)
+    return dict(
+        ring_y=jnp.zeros((RING, aligned_h, aligned_w), jnp.int16),
+        ring_u=jnp.zeros((RING, aligned_h // 2, aligned_w // 2), jnp.int16),
+        ring_v=jnp.zeros((RING, aligned_h // 2, aligned_w // 2), jnp.int16),
+        coef_y=jnp.zeros((aligned_h, aligned_w), jnp.int16),
+        coef_u=jnp.zeros((aligned_h // 2, aligned_w // 2), jnp.int16),
+        coef_v=jnp.zeros((aligned_h // 2, aligned_w // 2), jnp.int16),
+        stale_q=jnp.zeros(n, jnp.uint8),
+        stale_var=jnp.zeros(n, jnp.int16),
+    )
