@@ -1,9 +1,10 @@
 """Host-side encoder/decoder wrapping the TPU pipeline + native entropy.
 
 TpuEncoder produces format-conformant evx1 streams in fast mode (FORMAT.md
-§7). TpuDecoder reconstructs any fast-mode stream on device; streams that
-contain intra-motion blocks (e.g. from the reference encoder) fall back to
-the sequential cpuref reconstruction for that frame.
+§7); ConformanceTpuEncoder produces byte-exact reference-encoder streams
+via the wavefront schedule. TpuDecoder reconstructs any fast-mode stream
+on device; streams with intra-motion blocks (e.g. from the reference
+encoder) switch to the native C++ sequential decoder (native/decoder.cpp).
 """
 
 from __future__ import annotations
