@@ -327,9 +327,19 @@ def make_mesh(n_gop: int, n_tile: int, devices=None):
                 axis_names=("gop", "tile"))
 
 
+_STEP_CACHE = {}
+
+
 def sharded_encode_step(mesh, *, tile_w, aligned_h, full_width, is_inter,
                         frame_w=None, frame_h=None):
-    """Builds the jitted shard_map'd encode step over (gop, tile)."""
+    """Builds the jitted shard_map'd encode step over (gop, tile).
+    Memoized: a fresh closure per call would defeat the jit cache and
+    recompile for every encoder instance."""
+    key = ("enc", tuple(d.id for d in mesh.devices.flat),
+           mesh.devices.shape, tile_w, aligned_h, full_width, is_inter,
+           frame_w, frame_h)
+    if key in _STEP_CACHE:
+        return _STEP_CACHE[key]
     from jax import shard_map
 
     def per_device(rgb, state, frame_index, quality):
@@ -348,11 +358,17 @@ def sharded_encode_step(mesh, *, tile_w, aligned_h, full_width, is_inter,
         in_specs=(P("gop", None, "tile", None), P("gop", "tile"), None, None),
         out_specs=(P("gop", "tile"), P("gop", "tile")),
         check_vma=False)
-    return jax.jit(fn)
+    _STEP_CACHE[key] = jax.jit(fn)
+    return _STEP_CACHE[key]
 
 
 def sharded_decode_step(mesh, *, tile_w, aligned_h):
-    """Builds the jitted shard_map'd decode step over (gop, tile)."""
+    """Builds the jitted shard_map'd decode step over (gop, tile);
+    memoized like sharded_encode_step."""
+    key = ("dec", tuple(d.id for d in mesh.devices.flat),
+           mesh.devices.shape, tile_w, aligned_h)
+    if key in _STEP_CACHE:
+        return _STEP_CACHE[key]
     from jax import shard_map
 
     def per_device(table, coef, state, frame_index):
@@ -370,4 +386,5 @@ def sharded_decode_step(mesh, *, tile_w, aligned_h):
         in_specs=(P("gop", "tile"), P("gop", "tile"), P("gop", "tile"), None),
         out_specs=(P("gop", "tile"), P("gop", None, "tile", None)),
         check_vma=False)
-    return jax.jit(fn)
+    _STEP_CACHE[key] = jax.jit(fn)
+    return _STEP_CACHE[key]

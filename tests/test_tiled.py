@@ -34,6 +34,7 @@ def test_tiled_roundtrip_matches_encoder_recon():
         assert np.array_equal(out, enc.recon_rgb())
 
 
+@pytest.mark.slow
 def test_tiled_stream_is_deterministic():
     frames = moving_frames(128, 64, 3)
     streams = []
@@ -99,6 +100,7 @@ def test_halo_reach_motion_across_tile_boundary():
     assert np.any(moved & col0), (bt.motion_x[col0], bt.block_type[col0])
 
 
+@pytest.mark.slow
 def test_gop_axis_independence():
     """GOPs encoded side by side on the gop mesh axis must produce byte-
     identical streams to encoding each alone."""

@@ -31,6 +31,7 @@ def test_ip_gop():
     assert_streams_equal(synth_frames(64, 48, 4))
 
 
+@pytest.mark.slow
 def test_multi_reference():
     assert_streams_equal(synth_frames(96, 64, 6))
 
@@ -48,6 +49,7 @@ def test_noiseless_copy_blocks_and_stale_fields():
     assert_streams_equal(synth_frames(64, 48, 5, noise=0))
 
 
+@pytest.mark.slow
 def test_nonaligned_dims():
     assert_streams_equal(synth_frames(72, 40, 3))
 
