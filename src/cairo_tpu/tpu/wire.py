@@ -28,9 +28,23 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-EXC_K = 4096          # yuv wire exception capacity (values outside 9 bits)
 BIAS = 32             # yuv wire bias: stored = value + BIAS in [0, 512)
 COO_K = 1 << 17       # decoder residual COO capacity (pow-2 keeps 1 compile)
+
+
+def _flat_rank(mask):
+    """Exclusive rank of True elements in a flat bool mask. A direct 1D
+    cumsum over millions of elements is a serial bottleneck on TPU; rank
+    hierarchically instead: vectorized intra-chunk prefix + a short
+    cross-chunk cumsum."""
+    chunk = 512
+    n = mask.shape[0]
+    npad = -n % chunk
+    m = jnp.pad(mask, (0, npad)).reshape(-1, chunk).astype(jnp.int32)
+    intra = jnp.cumsum(m, axis=1) - m
+    counts = m.sum(axis=1)
+    base = jnp.cumsum(counts) - counts
+    return (base[:, None] + intra).reshape(-1)[:n]
 
 
 def _u8(x16):
@@ -76,8 +90,7 @@ def pack_encode_wire(table, coef_y, coef_u, coef_v, copy_mb):
         jnp.where(cmask, 0, coef_v.astype(jnp.int32)).reshape(-1)])
     mask = flat != 0
     count = jnp.sum(mask, dtype=jnp.int32)
-    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    wpos = jnp.where(mask, rank, COO_K)
+    wpos = jnp.where(mask, _flat_rank(mask), COO_K)
     pos = jnp.zeros(COO_K, jnp.int32).at[wpos].set(
         jnp.arange(flat.shape[0], dtype=jnp.int32), mode="drop")
     val = jnp.zeros(COO_K, jnp.int16).at[wpos].set(
@@ -198,37 +211,32 @@ def unpack_table_wire(buf, n):
 
 
 # --------------------------------------------------------------------------
-# decoder output wire: 9-bit YUV + exceptions
+# decoder output wire: 9-bit YUV + out-of-range count
 
 def pack_yuv_wire(y, u, v):
     """Device side. y/u/v: int32 reconstruction planes (aligned dims).
-    Returns one uint8 wire; see module docstring for the layout."""
+    Returns one uint8 wire: biased low bytes + packed high bits + an
+    out-of-9-bit-range count. A nonzero count (essentially impossible for
+    real content; an adversarial conformant stream can wrap int16) makes
+    the caller refetch the exact ring planes instead."""
     flats = [p.reshape(-1) for p in (y, u, v)]
     cat = jnp.concatenate(flats)
     biased = cat + BIAS
     clipped = jnp.clip(biased, 0, 511)
     lo = (clipped & 0xFF).astype(jnp.uint8)
     hi = _pack_bits((clipped >> 8) & 1)
-    mask = (biased < 0) | (biased > 511)
-    count = jnp.sum(mask, dtype=jnp.int32)
-    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    wpos = jnp.where(mask, rank, EXC_K)
-    exc_pos = jnp.zeros(EXC_K, jnp.int32).at[wpos].set(
-        jnp.arange(cat.shape[0], dtype=jnp.int32), mode="drop")
-    exc_val = jnp.zeros(EXC_K, jnp.int16).at[wpos].set(
-        cat.astype(jnp.int16), mode="drop")
-    return jnp.concatenate([
-        lo, hi, _u8(count[None]), _u8(exc_pos), _u8(exc_val)])
+    count = jnp.sum((biased < 0) | (biased > 511), dtype=jnp.int32)
+    return jnp.concatenate([lo, hi, _u8(count[None])])
 
 
 def yuv_wire_nbytes(ah, aw):
     total = ah * aw + 2 * (ah // 2) * (aw // 2)
-    return total + total // 8 + 4 + 6 * EXC_K
+    return total + total // 8 + 4
 
 
 def unpack_yuv_wire_np(buf, ah, aw):
     """Host-side reference unpack (numpy; production uses the native C++
-    converter). Returns (y, u, v int16 planes, exc_count)."""
+    converter). Returns (y, u, v int16 planes, oob_count)."""
     buf = np.asarray(buf)
     total = ah * aw + 2 * (ah // 2) * (aw // 2)
     lo = buf[:total].astype(np.int32)
@@ -236,12 +244,7 @@ def unpack_yuv_wire_np(buf, ah, aw):
     hi = np.unpackbits(hi_bytes, bitorder="little").astype(np.int32)
     o = total + total // 8
     count = int(buf[o:o + 4].view(np.int32)[0])
-    exc_pos = buf[o + 4:o + 4 + 4 * EXC_K].view(np.int32)
-    exc_val = buf[o + 4 + 4 * EXC_K:o + 4 + 6 * EXC_K].view(np.int16)
     vals = lo + (hi << 8) - BIAS
-    if count > 0:
-        k = min(count, EXC_K)
-        vals[exc_pos[:k]] = exc_val[:k]
     y = vals[:ah * aw].reshape(ah, aw).astype(np.int16)
     cs = (ah // 2) * (aw // 2)
     u = vals[ah * aw:ah * aw + cs].reshape(ah // 2, aw // 2).astype(np.int16)
