@@ -200,8 +200,9 @@ class NativeDecoder:
         self.aw, self.ah = aligned_w, aligned_h
 
     def __del__(self):
-        if getattr(self, "_h", None):
-            lib().evxn_dec_destroy(self._h)
+        h = getattr(self, "_h", None)
+        if h and _lib is not None:  # may run at interpreter shutdown
+            _lib.evxn_dec_destroy(h)
             self._h = None
 
     def set_ring(self, slot: int, y: np.ndarray, u: np.ndarray,
