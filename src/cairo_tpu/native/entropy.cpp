@@ -593,12 +593,11 @@ long long evxn_rgb_to_yuv9(const uint8_t *rgb, unsigned width,
 
 // Converts the decoder's 9-bit YUV output wire (tpu/wire.py layout) to RGB
 // with the exact integer math of convert.cpp:75-93 (arithmetic shifts,
-// final clip). Returns the wire's out-of-range count; nonzero means the
-// wire was clipped and the caller must refetch exact planes.
+// final clip). Returns the wire's exception count; count > exc_k means
+// the wire was clipped and the caller must refetch exact planes.
 long long evxn_yuv_wire_to_rgb(
     const uint8_t *wire, unsigned aw, unsigned ah,
     unsigned width, unsigned height, unsigned exc_k, uint8_t *rgb) {
-    (void)exc_k;
     const long long ysz = (long long)aw * ah;
     const unsigned cw = aw >> 1, chh = ah >> 1;
     const long long csz = (long long)cw * chh;
@@ -613,6 +612,14 @@ long long evxn_yuv_wire_to_rgb(
     for (long long i = 0; i < total; ++i) {
         vals[i] = (int16_t)((int)lo[i] + (((hi[i >> 3] >> (i & 7)) & 1) << 8)
                             - 32);
+    }
+    long long n_exc = exc_count < (int)exc_k ? exc_count : (long long)exc_k;
+    for (long long i = 0; i < n_exc; ++i) {
+        int pos;
+        int16_t val;
+        memcpy(&pos, tail + 4 + 4 * i, 4);
+        memcpy(&val, tail + 4 + 4 * (long long)exc_k + 2 * i, 2);
+        vals[pos] = val;
     }
     const int16_t *Y = vals, *U = vals + ysz, *V = vals + ysz + csz;
     for (unsigned r = 0; r < height; ++r) {

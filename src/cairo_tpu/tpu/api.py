@@ -440,8 +440,9 @@ class TpuDecoder:
         buf = np.asarray(pending["yuv"])
         with jax.profiler.TraceAnnotation("cairo_tpu.yuv_to_rgb"):
             rgb, exc_count = native.yuv_wire_to_rgb(
-                buf, self._aw, self._ah, self.width, self.height, 0)
-        if exc_count > 0:
+                buf, self._aw, self._ah, self.width, self.height,
+                wire_mod.EXC_K)
+        if exc_count > wire_mod.EXC_K:
             # wire was lossy: refetch the exact recon from the ring slot
             slot = pending["index"] % tables.REFERENCE_FRAME_COUNT
             y = np.asarray(self._state["ring_y"][slot])

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 BIAS = 32             # yuv wire bias: stored = value + BIAS in [0, 512)
+EXC_K = 4096          # yuv wire exception capacity (values outside 9 bits)
 COO_K = 1 << 17       # decoder residual COO capacity (pow-2 keeps 1 compile)
 
 
@@ -216,22 +217,29 @@ def unpack_table_wire(buf, n):
 def pack_yuv_wire(y, u, v):
     """Device side. y/u/v: int32 reconstruction planes (aligned dims).
     Returns one uint8 wire: biased low bytes + packed high bits + an
-    out-of-9-bit-range count. A nonzero count (essentially impossible for
-    real content; an adversarial conformant stream can wrap int16) makes
-    the caller refetch the exact ring planes instead."""
+    exception list for values outside 9 bits (transform ringing overshoots
+    the bias margin on real content a few pixels per frame). count > EXC_K
+    makes the caller refetch the exact ring planes instead."""
     flats = [p.reshape(-1) for p in (y, u, v)]
     cat = jnp.concatenate(flats)
     biased = cat + BIAS
     clipped = jnp.clip(biased, 0, 511)
     lo = (clipped & 0xFF).astype(jnp.uint8)
     hi = _pack_bits((clipped >> 8) & 1)
-    count = jnp.sum((biased < 0) | (biased > 511), dtype=jnp.int32)
-    return jnp.concatenate([lo, hi, _u8(count[None])])
+    mask = (biased < 0) | (biased > 511)
+    count = jnp.sum(mask, dtype=jnp.int32)
+    wpos = jnp.where(mask, _flat_rank(mask), EXC_K)
+    exc_pos = jnp.zeros(EXC_K, jnp.int32).at[wpos].set(
+        jnp.arange(cat.shape[0], dtype=jnp.int32), mode="drop")
+    exc_val = jnp.zeros(EXC_K, jnp.int16).at[wpos].set(
+        cat.astype(jnp.int16), mode="drop")
+    return jnp.concatenate([lo, hi, _u8(count[None]), _u8(exc_pos),
+                            _u8(exc_val)])
 
 
 def yuv_wire_nbytes(ah, aw):
     total = ah * aw + 2 * (ah // 2) * (aw // 2)
-    return total + total // 8 + 4
+    return total + total // 8 + 4 + 6 * EXC_K
 
 
 def unpack_yuv_wire_np(buf, ah, aw):
@@ -244,7 +252,12 @@ def unpack_yuv_wire_np(buf, ah, aw):
     hi = np.unpackbits(hi_bytes, bitorder="little").astype(np.int32)
     o = total + total // 8
     count = int(buf[o:o + 4].view(np.int32)[0])
+    exc_pos = buf[o + 4:o + 4 + 4 * EXC_K].view(np.int32)
+    exc_val = buf[o + 4 + 4 * EXC_K:o + 4 + 6 * EXC_K].view(np.int16)
     vals = lo + (hi << 8) - BIAS
+    if count > 0:
+        k = min(count, EXC_K)
+        vals[exc_pos[:k]] = exc_val[:k]
     y = vals[:ah * aw].reshape(ah, aw).astype(np.int16)
     cs = (ah // 2) * (aw // 2)
     u = vals[ah * aw:ah * aw + cs].reshape(ah // 2, aw // 2).astype(np.int16)
