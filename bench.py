@@ -73,22 +73,26 @@ def main():
     enc.set_quality(16)
 
     chunks = []
+    enc_times = []
     t0 = time.perf_counter()
     for i, chunk in enumerate(enc.encode_many(frames)):
         chunks.append(chunk)
-        if i == warmup - 1:
-            t0 = time.perf_counter()
-    t_enc = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        enc_times.append(t1 - t0)
+        t0 = t1
+    t_enc = sum(enc_times[warmup:])
     enc_stage_ms = dict(enc.last_stats["stage_ms"])
 
     dec = TpuDecoder()
     outs = []
+    dec_times = []
     t0 = time.perf_counter()
     for i, rgb in enumerate(dec.decode_many(chunks)):
         outs.append(rgb)
-        if i == warmup - 1:
-            t0 = time.perf_counter()
-    t_dec = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        dec_times.append(t1 - t0)
+        t0 = t1
+    t_dec = sum(dec_times[warmup:])
 
     n = measured
     enc_fps = n / t_enc
@@ -104,6 +108,12 @@ def main():
         "vs_baseline": round(total_fps / BASELINE_ENC_DEC_FPS, 2),
         "encode_fps": round(enc_fps, 3),
         "decode_fps": round(dec_fps, 3),
+        # medians are robust to the tunnel's intermittent multi-second
+        # stalls (environmental; see bench/bench_link.py)
+        "encode_median_ms": round(
+            float(np.median(enc_times[warmup:])) * 1e3, 1),
+        "decode_median_ms": round(
+            float(np.median(dec_times[warmup:])) * 1e3, 1),
         "enc_stage_ms": {k: round(v, 1) for k, v in enc_stage_ms.items()},
         "psnr_db": round(psnr, 2),
         "kbits_per_frame": round(
