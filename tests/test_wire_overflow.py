@@ -1,0 +1,36 @@
+"""Wire capacity-overflow fallbacks (tpu.wire): when a frame's residual
+COO list exceeds capacity, the encoder must fall back to exact-plane
+fetch and the decoder to the dense upload path, keeping streams
+conformant."""
+
+import numpy as np
+import pytest
+
+from cairo_tpu.tpu import wire
+
+
+def test_coo_overflow_roundtrip(monkeypatch):
+    # shrink the capacity so ordinary noise content overflows it. The
+    # frame size (32x32) is unique to this test: the engine's jit traces
+    # bake the capacity in, so reusing a shape another test compiled with
+    # the production capacity would mix executables.
+    monkeypatch.setattr(wire, "COO_K", 256)
+
+    from cairo_tpu.cpuref.api import Evx1Decoder
+    from cairo_tpu.tpu.api import TpuDecoder, TpuEncoder
+
+    rng = np.random.default_rng(0)
+    w = h = 32
+    frames = [rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+              for _ in range(3)]  # dense noise at q1 -> huge residuals
+    enc = TpuEncoder()
+    enc.set_quality(1)
+    cdec = Evx1Decoder()
+    tdec = TpuDecoder()
+    for t, f in enumerate(frames):
+        chunk = enc.encode(f)
+        a = cdec.decode(chunk)
+        b = tdec.decode(chunk)
+        np.testing.assert_array_equal(b, a, err_msg=f"frame {t}")
+    # the content must actually have exercised the overflow path
+    assert int((enc._coef_y != 0).sum()) > wire.COO_K
