@@ -182,3 +182,28 @@ def test_psnr_helper():
     b = a.copy()
     b[0, 0] = 255
     assert 0 < metrics.psnr(a, b) < 40
+
+
+def test_encoder_determinism_same_input_twice():
+    """SURVEY §4.5: same input twice -> identical bytes (single-chip
+    device pipeline; the tiled variant is test_tiled_stream_is_deterministic)."""
+    from cairo_tpu.tpu.api import TpuEncoder
+    from util_video import synth_frames
+
+    frames = synth_frames(64, 48, 3)
+    streams = []
+    for _ in range(2):
+        enc = TpuEncoder()
+        enc.set_quality(16)
+        streams.append(b"".join(enc.encode(f) for f in frames))
+    assert streams[0] == streams[1]
+
+
+def test_cluster_mesh_spec():
+    from cairo_tpu.tpu import cluster
+
+    spec = cluster.initialize(tiles_per_gop=4)  # single-process no-op
+    assert spec.tiles_per_gop == 4 and spec.n_gops >= 1
+    import pytest
+    with pytest.raises(ValueError):
+        cluster.initialize(tiles_per_gop=1024)
