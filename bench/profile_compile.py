@@ -42,14 +42,16 @@ def main():
     from cairo_tpu.tpu import wire as wire_mod
 
     state = jax.eval_shape(lambda: engine.init_state(aw, ah))
-    src = jax.ShapeDtypeStruct((8 + wire_mod.yuv9_nbytes(ah, aw),),
+    src = jax.ShapeDtypeStruct((8 + wire_mod.yuv8_nbytes(ah, aw),),
                                jnp.uint8)
 
     if "encode" in pieces:
         t("encode", lambda: jax.jit(
             engine.encode_step.__wrapped__,
-            static_argnames=("aligned_w", "aligned_h", "is_inter")).lower(
-            src, state, aligned_w=aw, aligned_h=ah, is_inter=True))
+            static_argnames=("aligned_w", "aligned_h", "frame_w", "frame_h",
+                             "is_inter")).lower(
+            src, state, aligned_w=aw, aligned_h=ah, frame_w=width,
+            frame_h=height, is_inter=True))
 
     if "decode" in pieces:
         table = dict(

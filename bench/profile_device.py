@@ -23,7 +23,7 @@ def main():
     rng = np.random.default_rng(0)
 
     from cairo_tpu.tpu import wire
-    buf = rng.integers(0, 255, 8 + wire.yuv9_nbytes(ah, aw),
+    buf = rng.integers(0, 255, 8 + wire.yuv8_nbytes(ah, aw),
                        np.uint8).astype(np.uint8)
     buf[:8] = np.array([1, 16], np.int32).view(np.uint8)
     src = jax.device_put(buf)
@@ -34,15 +34,16 @@ def main():
     for is_inter in (False, True):
         t0 = time.perf_counter()
         new_state, out = engine.encode_step(
-            src, state, aligned_w=aw, aligned_h=ah, is_inter=is_inter)
+            src, state, aligned_w=aw, aligned_h=ah, frame_w=width,
+            frame_h=height, is_inter=is_inter)
         jax.block_until_ready(out)
         t1 = time.perf_counter()
         reps = 5
         t0 = time.perf_counter()
         for i in range(reps):
             new_state, out = engine.encode_step(
-                src, new_state, aligned_w=aw, aligned_h=ah,
-                is_inter=is_inter)
+                src, new_state, aligned_w=aw, aligned_h=ah, frame_w=width,
+                frame_h=height, is_inter=is_inter)
         jax.block_until_ready(out)
         t1 = time.perf_counter()
         print(f"encode_step is_inter={is_inter}: {(t1-t0)/reps*1e3:.1f} ms")

@@ -51,8 +51,8 @@ def lib():
                                        i32, i16, ctypes.c_longlong]
         L.evxn_yuv_wire_to_rgb.restype = ctypes.c_longlong
         L.evxn_yuv_wire_to_rgb.argtypes = [u8, u, u, u, u, u, u8]
-        L.evxn_rgb_to_yuv9.restype = ctypes.c_longlong
-        L.evxn_rgb_to_yuv9.argtypes = [u8, u, u, u, u, u8]
+        L.evxn_rgb_to_yuv8.restype = ctypes.c_longlong
+        L.evxn_rgb_to_yuv8.argtypes = [u8, u, u, u, u, u8]
         p32 = ctypes.POINTER(ctypes.c_int32)
         vp = ctypes.c_void_p
         L.evxn_dec_create.restype = vp
@@ -157,18 +157,18 @@ def extract_coo(block_type: np.ndarray, wb: int, y: np.ndarray,
     return pos, val, int(count)
 
 
-def rgb_to_yuv9(rgb: np.ndarray, aw: int, ah: int, frame_index: int = 0,
+def rgb_to_yuv8(rgb: np.ndarray, aw: int, ah: int, frame_index: int = 0,
                 quality: int = 0) -> np.ndarray:
-    """Converts an (H, W, 3) uint8 frame to the 9-bit YUV source wire
+    """Converts an (H, W, 3) uint8 frame to the 8-bit YUV source wire
     (tpu/wire.py layout) over the aligned (ah, aw) grid, prefixed with the
     8-byte [frame_index, quality] int32 header the device step reads."""
     height, width = rgb.shape[:2]
     rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
     total = ah * aw + 2 * (ah // 2) * (aw // 2)
-    out = np.empty(8 + total + total // 8, np.uint8)
+    out = np.empty(8 + total, np.uint8)
     out[:8] = np.array([frame_index, quality], np.int32).view(np.uint8)
     payload = out[8:]
-    lib().evxn_rgb_to_yuv9(_p8(rgb), width, height, aw, ah, _p8(payload))
+    lib().evxn_rgb_to_yuv8(_p8(rgb), width, height, aw, ah, _p8(payload))
     return out
 
 

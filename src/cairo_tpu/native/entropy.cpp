@@ -538,21 +538,20 @@ long long evxn_extract_coo(
     return cnt;
 }
 
-// Converts an RGB frame to the encoder's 9-bit YUV source wire
-// (tpu/wire.py pack_yuv9_np layout), with the exact integer math of
-// convert.cpp:7-73 / tpu/ops.rgb_to_yuv420: pixels beyond the real frame
-// are converted from rgb=0 (they contribute to edge chroma quads) and the
-// resulting planes are masked to 0 outside the frame, matching the
-// single-chip engine's padding semantics.
-long long evxn_rgb_to_yuv9(const uint8_t *rgb, unsigned width,
+// Converts an RGB frame to the encoder's 8-bit YUV source wire:
+// [y-16 bytes | u bytes | v bytes] over the aligned grid. Legal source
+// values fit 8 bits exactly (y in [16, 271] -> y-16 in [0, 255]; chroma
+// in [0, 255], convert.cpp:7-73). Pixels beyond the real frame are
+// converted from rgb=0 (they contribute to edge chroma quads) and the
+// planes are masked to 0 outside the frame; the device re-adds the +16
+// luma shift only on in-frame cells (static mask), reproducing the
+// single-chip padding semantics bit-exactly.
+long long evxn_rgb_to_yuv8(const uint8_t *rgb, unsigned width,
                            unsigned height, unsigned aw, unsigned ah,
                            uint8_t *wire) {
     const unsigned cw = aw >> 1;
     const long long ysz = (long long)aw * ah;
     const long long csz = (long long)cw * (ah >> 1);
-    const long long total = ysz + 2 * csz;
-    uint8_t *hi = wire + total;
-    memset(hi, 0, (size_t)(total / 8));
 
     for (unsigned r = 0; r < ah; r += 2) {
         for (unsigned c = 0; c < aw; c += 2) {
@@ -566,29 +565,21 @@ long long evxn_rgb_to_yuv9(const uint8_t *rgb, unsigned width,
                         const uint8_t *p = rgb + ((long long)py * width + px) * 3;
                         rr = p[0]; gg = p[1]; bb = p[2];
                     }
-                    int y = ((77 * rr + 150 * gg + 29 * bb + 128) >> 8) + 16;
+                    int y = (77 * rr + 150 * gg + 29 * bb + 128) >> 8;
                     int cu = (-43 * rr - 85 * gg + 128 * bb + 128) / 256 + 128;
                     int cv = (128 * rr - 107 * gg - 21 * bb + 128) / 256 + 128;
                     usum += cu;
                     vsum += cv;
-                    if (!in) y = 0;
-                    long long idx = (long long)py * aw + px;
-                    wire[idx] = (uint8_t)(y & 0xFF);
-                    if (y >> 8) hi[idx >> 3] |= (uint8_t)(1u << (idx & 7));
+                    wire[(long long)py * aw + px] = (uint8_t)(in ? y : 0);
                 }
             }
             bool cin = r < height && c < width;
-            int u = cin ? ((usum + 2) >> 2) : 0;
-            int v = cin ? ((vsum + 2) >> 2) : 0;
             long long cidx = (long long)(r >> 1) * cw + (c >> 1);
-            wire[ysz + cidx] = (uint8_t)(u & 0xFF);
-            if (u >> 8) hi[(ysz + cidx) >> 3] |= (uint8_t)(1u << ((ysz + cidx) & 7));
-            wire[ysz + csz + cidx] = (uint8_t)(v & 0xFF);
-            if (v >> 8)
-                hi[(ysz + csz + cidx) >> 3] |= (uint8_t)(1u << ((ysz + csz + cidx) & 7));
+            wire[ysz + cidx] = (uint8_t)(cin ? ((usum + 2) >> 2) : 0);
+            wire[ysz + csz + cidx] = (uint8_t)(cin ? ((vsum + 2) >> 2) : 0);
         }
     }
-    return total + total / 8;
+    return ysz + 2 * csz;
 }
 
 // Converts the decoder's 9-bit YUV output wire (tpu/wire.py layout) to RGB

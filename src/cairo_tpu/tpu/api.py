@@ -111,13 +111,14 @@ class TpuEncoder:
         header = self._begin_frame(rgb)
         frame_desc = struct.pack(_FRAME_FMT, self.frame_type,
                                  self.frame_index, self.quality)
-        with jax.profiler.TraceAnnotation("cairo_tpu.rgb_to_yuv9"):
-            src_wire = native.rgb_to_yuv9(rgb, self._aw, self._ah,
+        with jax.profiler.TraceAnnotation("cairo_tpu.rgb_to_yuv8"):
+            src_wire = native.rgb_to_yuv8(rgb, self._aw, self._ah,
                                           self.frame_index, self.quality)
         with jax.profiler.TraceAnnotation("cairo_tpu.encode_step"):
             self._state, out = engine.encode_step(
                 src_wire, self._state, aligned_w=self._aw,
-                aligned_h=self._ah,
+                aligned_h=self._ah, frame_w=self.width,
+                frame_h=self.height,
                 is_inter=self.frame_type == FRAME_INTER,
                 n_refs=self.config.reference_frame_count,
                 deblock=self.config.enable_deblocking,
@@ -317,12 +318,13 @@ class ConformanceTpuEncoder:
             raise ValueError("frame dimensions changed mid-stream")
         frame_desc = struct.pack(_FRAME_FMT, self.frame_type,
                                  self.frame_index, self.quality)
-        src_wire = native.rgb_to_yuv9(rgb, self._aw, self._ah,
+        src_wire = native.rgb_to_yuv8(rgb, self._aw, self._ah,
                                      self.frame_index, self.quality)
         with jax.profiler.TraceAnnotation("cairo_tpu.wavefront_encode"):
             self._state, out = self._wavefront.conformance_encode_step(
                 src_wire, self._state, aligned_w=self._aw,
-                aligned_h=self._ah,
+                aligned_h=self._ah, frame_w=self.width,
+                frame_h=self.height,
                 is_inter=self.frame_type == FRAME_INTER)
         out = jax.device_get(out)
         bt = BlockTable(

@@ -128,23 +128,25 @@ def _classify_inter(src, src_planes, ring, state_wins, px, py, quality,
 
 
 @functools.partial(jax.jit, static_argnames=("aligned_w", "aligned_h",
+                                             "frame_w", "frame_h",
                                              "is_inter", "n_refs",
                                              "deblock", "adaptive"),
                    donate_argnums=(1,))
-def encode_step(src_wire, state, *, aligned_w, aligned_h, is_inter,
-                n_refs=RING, deblock=True, adaptive=True):
-    """One frame through the device pipeline. The input is the 9-bit YUV
-    source wire (host-converted, frame-edge masking already applied — see
-    native.rgb_to_yuv9) prefixed with an 8-byte [frame_index, quality]
-    int32 header, so one upload carries everything (per-transfer latency on
-    the host link is ~5-15 ms). Returns (new_state, outputs)."""
+def encode_step(src_wire, state, *, aligned_w, aligned_h, frame_w, frame_h,
+                is_inter, n_refs=RING, deblock=True, adaptive=True):
+    """One frame through the device pipeline. The input is the 8-bit YUV
+    source wire (host-converted, frame-edge masking applied on the static
+    pad positions — see native.rgb_to_yuv8) prefixed with an 8-byte
+    [frame_index, quality] int32 header, so one upload carries everything
+    (per-transfer latency on the host link is ~5-15 ms).
+    Returns (new_state, outputs)."""
     px, py, wb, hb = _mb_coords(aligned_w, aligned_h)
     n = wb * hb
 
     hdr = jax.lax.bitcast_convert_type(src_wire[:8].reshape(2, 4), jnp.int32)
     frame_index, quality = hdr[0], hdr[1]
-    y_in, u_in, v_in = wire_mod.unpack_yuv9(src_wire[8:], aligned_h,
-                                            aligned_w)
+    y_in, u_in, v_in = wire_mod.unpack_yuv8(src_wire[8:], aligned_h,
+                                            aligned_w, frame_w, frame_h)
 
     src = (ops.plane_to_blocks(y_in, MB),
            ops.plane_to_blocks(u_in, MB // 2),

@@ -284,10 +284,11 @@ def _intra_search_wave(ywin, uwin, vwin, srcb, px, py, self_sad, quality,
 
 
 @functools.partial(jax.jit, static_argnames=("aligned_w", "aligned_h",
+                                             "frame_w", "frame_h",
                                              "is_inter", "n_refs"),
                    donate_argnums=(1,))
 def conformance_encode_step(src_wire, state, *, aligned_w, aligned_h,
-                            is_inter, n_refs=RING):
+                            frame_w, frame_h, is_inter, n_refs=RING):
     """One frame, bit-exact vs the reference encoder (wavefront schedule).
 
     state: ring planes + coefficient planes + stale q/variance table fields.
@@ -297,8 +298,8 @@ def conformance_encode_step(src_wire, state, *, aligned_w, aligned_h,
 
     hdr = jax.lax.bitcast_convert_type(src_wire[:8].reshape(2, 4), jnp.int32)
     frame_index, quality = hdr[0], hdr[1]
-    y_in, u_in, v_in = wire_mod.unpack_yuv9(src_wire[8:], aligned_h,
-                                            aligned_w)
+    y_in, u_in, v_in = wire_mod.unpack_yuv8(src_wire[8:], aligned_h,
+                                            aligned_w, frame_w, frame_h)
     src_blocks = (ops.plane_to_blocks(y_in, MB),
                   ops.plane_to_blocks(u_in, MB // 2),
                   ops.plane_to_blocks(v_in, MB // 2))

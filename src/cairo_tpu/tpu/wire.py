@@ -150,34 +150,38 @@ def apply_coo_np(coef_y, coef_u, coef_v, copy_mb, count, pos, val):
 
 
 # --------------------------------------------------------------------------
-# 9-bit YUV source wire (host rgb->yuv conversion, device upload)
+# 8-bit YUV source wire (host rgb->yuv conversion, device upload).
+# Legal source values fit 8 bits exactly: the wire stores y-16 for
+# in-frame cells (and 0 for the static MB-alignment pad, which the device
+# knows by position), chroma as-is.
 
-def yuv9_nbytes(ah, aw):
-    total = ah * aw + 2 * (ah // 2) * (aw // 2)
-    return total + total // 8
+def yuv8_nbytes(ah, aw):
+    return ah * aw + 2 * (ah // 2) * (aw // 2)
 
 
-def pack_yuv9_np(y, u, v):
+def pack_yuv8_np(y, u, v, frame_w, frame_h):
     """Host-side numpy reference for the source wire (production uses the
-    native C++ converter): values in [0, 512) -> lo bytes + packed hi bits."""
-    flat = np.concatenate([p.reshape(-1).astype(np.int32) for p in (y, u, v)])
-    lo = (flat & 0xFF).astype(np.uint8)
-    hi = np.packbits(((flat >> 8) & 1).astype(np.uint8), bitorder="little")
-    return np.concatenate([lo, hi])
+    native C++ converter evxn_rgb_to_yuv8)."""
+    ah, aw = y.shape
+    mask = (np.arange(ah)[:, None] < frame_h) & (np.arange(aw)[None, :]
+                                                 < frame_w)
+    y8 = np.where(mask, y.astype(np.int32) - 16, 0).astype(np.uint8)
+    return np.concatenate([y8.reshape(-1),
+                           u.reshape(-1).astype(np.uint8),
+                           v.reshape(-1).astype(np.uint8)])
 
 
-def unpack_yuv9(buf, ah, aw):
-    """Device side: source wire -> (y, u, v) int32 planes."""
-    total = ah * aw + 2 * (ah // 2) * (aw // 2)
-    lo = buf[:total].astype(jnp.int32)
-    hi_bytes = buf[total:total + total // 8]
-    hi = ((hi_bytes[:, None] >> jnp.arange(8, dtype=jnp.uint8)[None, :]) & 1
-          ).astype(jnp.int32).reshape(-1)
-    vals = lo + (hi << 8)
+def unpack_yuv8(buf, ah, aw, frame_w, frame_h):
+    """Device side: source wire -> (y, u, v) int32 planes. Re-applies the
+    +16 luma shift on in-frame cells (static mask)."""
     ys, cs = ah * aw, (ah // 2) * (aw // 2)
-    return (vals[:ys].reshape(ah, aw),
-            vals[ys:ys + cs].reshape(ah // 2, aw // 2),
-            vals[ys + cs:].reshape(ah // 2, aw // 2))
+    y = buf[:ys].astype(jnp.int32).reshape(ah, aw)
+    mask = ((jnp.arange(ah)[:, None] < frame_h)
+            & (jnp.arange(aw)[None, :] < frame_w))
+    y = jnp.where(mask, y + 16, 0)
+    u = buf[ys:ys + cs].astype(jnp.int32).reshape(ah // 2, aw // 2)
+    v = buf[ys + cs:ys + 2 * cs].astype(jnp.int32).reshape(ah // 2, aw // 2)
+    return y, u, v
 
 
 # --------------------------------------------------------------------------
