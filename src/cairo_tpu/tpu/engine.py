@@ -1,11 +1,12 @@
 """Jitted per-frame encode/decode steps (fast mode, docs/FORMAT.md §7).
 
 Encode dataflow (single fused jit per frame type):
-  RGB -> YUV420 -> per-MB inter searches vs the 3 previous ring slots ->
-  classification merge -> dense residual DCT -> adaptive QP -> quantize ->
-  reconstruction into the ring slot -> band-scan deblock.
-Outputs (block table SoA + coefficient planes) stream to the host where the
-C++ entropy backend serializes the slice.
+  8-bit YUV source wire (host-converted) -> per-MB inter searches vs the
+  3 previous ring slots -> classification merge -> dense residual DCT ->
+  adaptive QP -> quantize -> reconstruction into the ring slot ->
+  band-scan deblock -> packed output wire (block table + residual COO).
+The host's C++ entropy backend serializes the slice; transfers ride the
+packed wires in tpu/wire.py.
 
 The coefficient planes and the recon ring are carried state: copy-block
 regions must keep their stale contents (wire-critical, FORMAT.md §4).

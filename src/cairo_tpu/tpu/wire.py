@@ -3,18 +3,21 @@
 The host<->device link (axon tunnel / PCIe) is the throughput bottleneck of
 the 1080p pipeline: ~45 MB/s with ~5-15 ms per-transfer latency (measured,
 bench/bench_link.py), against a ~116 ms/frame budget. Every per-frame
-exchange is therefore packed into ONE uint8 buffer per direction, with
-int16 data squeezed to 8 bits plus sidebands:
+exchange is therefore packed into ONE uint8 buffer per direction (frame
+header included — no per-frame scalar transfers), with int16 data squeezed
+to the fewest bits that stay exact:
 
-- encoder output wire: block table (SoA, fixed offsets) + coefficient
-  planes as int8 (AC values almost never exceed that at any quality) + the
-  per-8x8 DC values as int16 (they routinely do) + an AC-overflow count.
-  If the count is nonzero the host refetches the exact int16 planes
-  (separate, normally-untouched jit outputs cost nothing to keep).
-- decoder input: the parsed block table packed the same way, plus the
-  nonzero residual coefficients as a COO list (positions into the
-  concatenated Y|U|V plane space); a frame's nonzeros track the bitrate
-  (~tens of KB) vs 6.3 MB of dense int16 planes.
+- encoder source wire: 8-bit YUV (y-16 fits a byte; the +16 shift is
+  re-applied on the static in-frame mask), converted host-side in native
+  code (native.rgb_to_yuv8).
+- encoder output wire: block table (SoA, fixed offsets) + the nonzero
+  residuals of non-copy macroblocks as a COO list — a frame's nonzeros
+  track the bitrate (~tens of KB) vs 6.3 MB of dense int16 planes. On
+  capacity overflow the host refetches the exact planes (separate,
+  normally-untouched jit outputs cost nothing to keep). Both ends carry
+  persistent coefficient planes so copy blocks keep their stale content.
+- decoder input: the parsed block table packed the same way + the COO
+  list the native parser extracts.
 - decoder output wire: the reconstruction as 9-bit YUV (biased low byte +
   packed high-bit plane; legal Y values reach 271 = 255+16 and transform
   ringing overshoots both ends) plus an exception list for values outside
