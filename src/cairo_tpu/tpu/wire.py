@@ -36,19 +36,32 @@ EXC_K = 4096          # yuv wire exception capacity (values outside 9 bits)
 COO_K = 1 << 17       # decoder residual COO capacity (pow-2 keeps 1 compile)
 
 
-def _flat_rank(mask):
-    """Exclusive rank of True elements in a flat bool mask. A direct 1D
-    cumsum over millions of elements is a serial bottleneck on TPU; rank
-    hierarchically instead: vectorized intra-chunk prefix + a short
-    cross-chunk cumsum."""
+def _compact(vals, mask, k, val_dtype=jnp.int16):
+    """Stream compaction: (positions, values, count) of the first k True
+    elements of a flat mask. A direct scatter of n updates into k slots
+    lowers to a global sort plus n random gathers (~35 ms at n=3M on
+    v5e); instead sort each 512-chunk locally (vectorized along the minor
+    axis) and build the k outputs with gathers — 24x fewer random
+    accesses."""
     chunk = 512
     n = mask.shape[0]
     npad = -n % chunk
-    m = jnp.pad(mask, (0, npad)).reshape(-1, chunk).astype(jnp.int32)
-    intra = jnp.cumsum(m, axis=1) - m
-    counts = m.sum(axis=1)
+    m = jnp.pad(mask, (0, npad)).reshape(-1, chunk)
+    counts = m.sum(axis=1, dtype=jnp.int32)
     base = jnp.cumsum(counts) - counts
-    return (base[:, None] + intra).reshape(-1)[:n]
+    idx2 = jnp.arange(n + npad, dtype=jnp.int32).reshape(-1, chunk)
+    val2 = jnp.pad(vals, (0, npad)).reshape(-1, chunk)
+    key = (~m).astype(jnp.int32)
+    _, idx_s, val_s = jax.lax.sort((key, idx2, val2), dimension=1,
+                                   is_stable=True, num_keys=1)
+    total = counts.sum()
+    j = jnp.arange(k, dtype=jnp.int32)
+    c = jnp.searchsorted(base, j, side="right").astype(jnp.int32) - 1
+    local = j - base[c]
+    ok = j < total
+    pos = jnp.where(ok, idx_s[c, local], 0)
+    val = jnp.where(ok, val_s[c, local], 0).astype(val_dtype)
+    return pos, val, total
 
 
 def _u8(x16):
@@ -92,13 +105,7 @@ def pack_encode_wire(table, coef_y, coef_u, coef_v, copy_mb):
         jnp.where(ymask, 0, coef_y.astype(jnp.int32)).reshape(-1),
         jnp.where(cmask, 0, coef_u.astype(jnp.int32)).reshape(-1),
         jnp.where(cmask, 0, coef_v.astype(jnp.int32)).reshape(-1)])
-    mask = flat != 0
-    count = jnp.sum(mask, dtype=jnp.int32)
-    wpos = jnp.where(mask, _flat_rank(mask), COO_K)
-    pos = jnp.zeros(COO_K, jnp.int32).at[wpos].set(
-        jnp.arange(flat.shape[0], dtype=jnp.int32), mode="drop")
-    val = jnp.zeros(COO_K, jnp.int16).at[wpos].set(
-        flat.astype(jnp.int16), mode="drop")
+    pos, val, count = _compact(flat, flat != 0, COO_K)
     parts += [_u8(count[None]), _u8(pos), _u8(val)]
     return jnp.concatenate(parts)
 
@@ -234,12 +241,7 @@ def pack_yuv_wire(y, u, v):
     lo = (clipped & 0xFF).astype(jnp.uint8)
     hi = _pack_bits((clipped >> 8) & 1)
     mask = (biased < 0) | (biased > 511)
-    count = jnp.sum(mask, dtype=jnp.int32)
-    wpos = jnp.where(mask, _flat_rank(mask), EXC_K)
-    exc_pos = jnp.zeros(EXC_K, jnp.int32).at[wpos].set(
-        jnp.arange(cat.shape[0], dtype=jnp.int32), mode="drop")
-    exc_val = jnp.zeros(EXC_K, jnp.int16).at[wpos].set(
-        cat.astype(jnp.int16), mode="drop")
+    exc_pos, exc_val, count = _compact(cat, mask, EXC_K)
     return jnp.concatenate([lo, hi, _u8(count[None]), _u8(exc_pos),
                             _u8(exc_val)])
 
