@@ -66,7 +66,7 @@ def main():
     from cairo_tpu.tpu.api import TpuDecoder, TpuEncoder
 
     width, height = 1920, 1080
-    warmup, measured = 2, 12
+    warmup, measured = 2, 20
     frames = synth_frames(width, height, warmup + measured)
 
     enc = TpuEncoder()
