@@ -115,6 +115,8 @@ def main():
         "decode_median_ms": round(
             float(np.median(dec_times[warmup:])) * 1e3, 1),
         "enc_stage_ms": {k: round(v, 1) for k, v in enc_stage_ms.items()},
+        "dec_stage_ms": {k: round(v, 1) for k, v in
+                         (dec.last_stats or {}).get("stage_ms", {}).items()},
         "psnr_db": round(psnr, 2),
         "kbits_per_frame": round(
             sum(len(c) for c in chunks) * 8 / len(chunks) / 1000, 1),

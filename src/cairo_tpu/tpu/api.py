@@ -360,6 +360,7 @@ class TpuDecoder:
         self._native = None  # sequential C++ decoder once a stream needs it
         self.frame_index = 0
         self.width = self.height = 0
+        self.last_stats = None
 
     def _init(self, width, height):
         self.width, self.height = width, height
@@ -418,7 +419,7 @@ class TpuDecoder:
                     deblock=self.config.enable_deblocking)
             yuv.copy_to_host_async()
             return dict(kind="wire", yuv=yuv, index=index,
-                        t0=t0, t_ent=t_ent)
+                        t0=t0, t_ent=t_ent, t_dispatch=time.perf_counter())
         # dense fallback (residual volume beyond COO capacity)
         table = dict(
             block_type=self._bt.block_type,
@@ -439,11 +440,17 @@ class TpuDecoder:
             return pending["rgb"]
         if pending["kind"] == "dense":
             return np.asarray(pending["rgb"])
+        t_fetch0 = time.perf_counter()
         buf = np.asarray(pending["yuv"])
+        t_fetch1 = time.perf_counter()
         with jax.profiler.TraceAnnotation("cairo_tpu.yuv_to_rgb"):
             rgb, exc_count = native.yuv_wire_to_rgb(
                 buf, self._aw, self._ah, self.width, self.height,
                 wire_mod.EXC_K)
+        self.last_stats = dict(stage_ms=dict(
+            entropy=(pending["t_ent"] - pending["t0"]) * 1e3,
+            device_and_fetch=(t_fetch1 - pending["t_dispatch"]) * 1e3,
+            convert=(time.perf_counter() - t_fetch1) * 1e3))
         if exc_count > wire_mod.EXC_K:
             # wire was lossy: refetch the exact recon from the ring slot
             slot = pending["index"] % tables.REFERENCE_FRAME_COUNT
