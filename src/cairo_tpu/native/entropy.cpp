@@ -598,30 +598,49 @@ long long evxn_yuv_wire_to_rgb(
     const uint8_t *tail = hi + total / 8;
     int exc_count;
     memcpy(&exc_count, tail, 4);
-
-    int16_t *vals = (int16_t *)malloc((size_t)total * sizeof(int16_t));
-    for (long long i = 0; i < total; ++i) {
-        vals[i] = (int16_t)((int)lo[i] + (((hi[i >> 3] >> (i & 7)) & 1) << 8)
-                            - 32);
-    }
     long long n_exc = exc_count < (int)exc_k ? exc_count : (long long)exc_k;
-    for (long long i = 0; i < n_exc; ++i) {
-        int pos;
-        int16_t val;
-        memcpy(&pos, tail + 4 + 4 * i, 4);
-        memcpy(&val, tail + 4 + 4 * (long long)exc_k + 2 * i, 2);
-        vals[pos] = val;
-    }
-    const int16_t *Y = vals, *U = vals + ysz, *V = vals + ysz + csz;
+
+    // value lookup straight from the wire; exceptions resolved by a scan
+    // of the (tiny, usually empty) list — avoids materializing a 6 MB
+    // int16 temp on the (shared, contended) host cores
+    auto wire_val = [&](long long i) -> int {
+        return (int)lo[i] + (((hi[i >> 3] >> (i & 7)) & 1) << 8) - 32;
+    };
+    auto exact_val = [&](long long i) -> int {
+        for (long long k = 0; k < n_exc; ++k) {
+            int pos;
+            memcpy(&pos, tail + 4 + 4 * k, 4);
+            if (pos == (int)i) {
+                int16_t v;
+                memcpy(&v, tail + 4 + 4 * (long long)exc_k + 2 * k, 2);
+                return v;
+            }
+        }
+        return wire_val(i);
+    };
+    auto emit = [&](unsigned r, unsigned c, int yv, int uv, int vv2) {
+        int yy = yv - 16, uu = uv - 128, vv = vv2 - 128;
+        int rr = (256 * yy + 358 * vv + 128) >> 8;
+        int gg = (256 * yy - 88 * uu - 182 * vv + 128) >> 8;
+        int bb = (256 * yy + 452 * uu + 128) >> 8;
+        uint8_t *o = rgb + ((long long)r * width + c) * 3;
+        o[0] = (uint8_t)(rr < 0 ? 0 : (rr > 255 ? 255 : rr));
+        o[1] = (uint8_t)(gg < 0 ? 0 : (gg > 255 ? 255 : gg));
+        o[2] = (uint8_t)(bb < 0 ? 0 : (bb > 255 ? 255 : bb));
+    };
+
     for (unsigned r = 0; r < height; ++r) {
-        const int16_t *yrow = Y + (long long)r * aw;
-        const int16_t *urow = U + (long long)(r >> 1) * cw;
-        const int16_t *vrow = V + (long long)(r >> 1) * cw;
+        const uint8_t *ylo = lo + (long long)r * aw;
+        const long long urow = ysz + (long long)(r >> 1) * cw;
+        const long long vrow = urow + csz;
         uint8_t *orow = rgb + (long long)r * width * 3;
         for (unsigned c = 0; c < width; ++c) {
-            int yy = yrow[c] - 16;
-            int uu = urow[c >> 1] - 128;
-            int vv = vrow[c >> 1] - 128;
+            long long yi = (long long)r * aw + c;
+            int yy = (int)ylo[c] + (((hi[yi >> 3] >> (yi & 7)) & 1) << 8)
+                     - 32 - 16;
+            long long ui = urow + (c >> 1), vi = vrow + (c >> 1);
+            int uu = wire_val(ui) - 128;
+            int vv = wire_val(vi) - 128;
             int rr = (256 * yy + 358 * vv + 128) >> 8;
             int gg = (256 * yy - 88 * uu - 182 * vv + 128) >> 8;
             int bb = (256 * yy + 452 * uu + 128) >> 8;
@@ -630,7 +649,33 @@ long long evxn_yuv_wire_to_rgb(
             orow[3 * c + 2] = (uint8_t)(bb < 0 ? 0 : (bb > 255 ? 255 : bb));
         }
     }
-    free(vals);
+
+    // fix up the pixels an exception touches (1 px for Y, a 2x2 quad for
+    // chroma), recomputing every component through the exception list
+    for (long long k = 0; k < n_exc; ++k) {
+        int pos;
+        memcpy(&pos, tail + 4 + 4 * k, 4);
+        long long p = pos;
+        if (p < ysz) {
+            unsigned r = (unsigned)(p / aw), c = (unsigned)(p % aw);
+            if (r < height && c < width)
+                emit(r, c, exact_val(p),
+                     exact_val(ysz + (long long)(r >> 1) * cw + (c >> 1)),
+                     exact_val(ysz + csz + (long long)(r >> 1) * cw
+                               + (c >> 1)));
+        } else {
+            long long cp = (p - ysz) % csz;
+            unsigned cr = (unsigned)(cp / cw), cc = (unsigned)(cp % cw);
+            for (unsigned dr = 0; dr < 2; ++dr)
+                for (unsigned dc = 0; dc < 2; ++dc) {
+                    unsigned r = 2 * cr + dr, c = 2 * cc + dc;
+                    if (r < height && c < width)
+                        emit(r, c, exact_val((long long)r * aw + c),
+                             exact_val(ysz + (long long)cr * cw + cc),
+                             exact_val(ysz + csz + (long long)cr * cw + cc));
+                }
+        }
+    }
     return exc_count;
 }
 

@@ -34,3 +34,30 @@ def test_coo_overflow_roundtrip(monkeypatch):
         np.testing.assert_array_equal(b, a, err_msg=f"frame {t}")
     # the content must actually have exercised the overflow path
     assert int((enc._coef_y != 0).sum()) > wire.COO_K
+
+
+def test_yuv_wire_exceptions_convert_exactly():
+    """Values outside the 9-bit window ride the exception list; the native
+    converter must reproduce the exact RGB for the affected pixels."""
+    import jax.numpy as jnp
+
+    from cairo_tpu import native
+    from cairo_tpu.cpuref import imaging
+
+    rng = np.random.default_rng(1)
+    ah, aw, w, h = 32, 64, 60, 30
+    y = rng.integers(0, 272, (ah, aw)).astype(np.int32)
+    u = rng.integers(0, 256, (ah // 2, aw // 2)).astype(np.int32)
+    v = rng.integers(0, 256, (ah // 2, aw // 2)).astype(np.int32)
+    # out-of-window values (ringing-style overshoot), incl. chroma
+    y[3, 5] = -60
+    y[10, 50] = 500
+    u[4, 7] = -40
+    v[9, 2] = 505
+    buf = np.asarray(wire.pack_yuv_wire(jnp.asarray(y), jnp.asarray(u),
+                                        jnp.asarray(v)))
+    rgb, count = native.yuv_wire_to_rgb(buf, aw, ah, w, h, wire.EXC_K)
+    assert count == 4
+    want = imaging.yuv420_to_rgb(y.astype(np.int16), u.astype(np.int16),
+                                 v.astype(np.int16), w, h)
+    np.testing.assert_array_equal(rgb, want)
