@@ -347,6 +347,28 @@ class ConformanceTpuEncoder:
         self.frame_index += 1
         return chunk
 
+    # -- checkpoint / resume (cairo_tpu.checkpoint) ------------------------
+
+    def state_dict(self):
+        meta = dict(kind="conformance_tpu_encoder", width=self.width,
+                    height=self.height, frame_index=self.frame_index,
+                    frame_type=self.frame_type, quality=self.quality,
+                    init=self._state is not None)
+        arrays = {}
+        if self._state is not None:
+            arrays = {k: np.asarray(jax.device_get(v))
+                      for k, v in self._state.items()}
+        return meta, arrays
+
+    def load_state_dict(self, meta, arrays):
+        self.frame_index = meta["frame_index"]
+        self.frame_type = meta["frame_type"]
+        self.quality = meta["quality"]
+        if meta["init"]:
+            self.width, self.height = meta["width"], meta["height"]
+            self._aw, self._ah = _align(self.width), _align(self.height)
+            self._state = {k: jnp.asarray(v) for k, v in arrays.items()}
+
 
 class TpuDecoder:
     def __init__(self, config=None):

@@ -207,3 +207,27 @@ def test_cluster_mesh_spec():
     import pytest
     with pytest.raises(ValueError):
         cluster.initialize(tiles_per_gop=1024)
+
+
+def test_conformance_encoder_checkpoint_resume():
+    """Resuming the wavefront conformance encoder mid-stream must continue
+    the exact byte stream the uninterrupted cpuref encoder produces."""
+    from cairo_tpu import checkpoint
+    from cairo_tpu.cpuref.api import Evx1Encoder
+    from cairo_tpu.tpu.api import ConformanceTpuEncoder
+    from util_video import synth_frames
+
+    frames = synth_frames(64, 48, 5)
+    ref = Evx1Encoder()
+    ref.set_quality(16)
+    want = [ref.encode(f) for f in frames]
+
+    enc = ConformanceTpuEncoder()
+    enc.set_quality(16)
+    got = [enc.encode(f) for f in frames[:2]]
+    blob = checkpoint.dump_state(enc)
+
+    enc2 = ConformanceTpuEncoder()
+    checkpoint.load_state(enc2, blob)
+    got += [enc2.encode(f) for f in frames[2:]]
+    assert got == want
