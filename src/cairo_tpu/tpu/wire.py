@@ -56,7 +56,12 @@ def _compact(vals, mask, k, val_dtype=jnp.int16):
                                    is_stable=True, num_keys=1)
     total = counts.sum()
     j = jnp.arange(k, dtype=jnp.int32)
-    c = jnp.searchsorted(base, j, side="right").astype(jnp.int32) - 1
+    # c[j] = searchsorted(base, j, 'right') - 1, computed as a histogram +
+    # cumsum instead: 131k binary searches lower to ~12 ms of serial-gather
+    # work on TPU, the scatter-add of ~6k chunk bases is ~0.1 ms. Chunks
+    # whose base >= k can never supply an output slot j < k (mode=drop).
+    hist = jnp.zeros(k, jnp.int32).at[base].add(1, mode="drop")
+    c = jnp.cumsum(hist) - 1
     local = j - base[c]
     ok = j < total
     pos = jnp.where(ok, idx_s[c, local], 0)

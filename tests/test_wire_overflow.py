@@ -61,3 +61,27 @@ def test_yuv_wire_exceptions_convert_exactly():
     want = imaging.yuv420_to_rgb(y.astype(np.int16), u.astype(np.int16),
                                  v.astype(np.int16), w, h)
     np.testing.assert_array_equal(rgb, want)
+
+
+def test_compact_matches_numpy():
+    """_compact (chunked sort + histogram chunk-lookup) vs a direct numpy
+    nonzero, across counts below/at/above capacity and empty masks."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    for n, k, density in ((1000, 64, 0.02), (5000, 64, 0.5),
+                          (4096, 128, 0.0), (3000, 4096, 1.0),
+                          (700, 16, 0.03)):
+        vals = rng.integers(-300, 300, n).astype(np.int32)
+        mask = rng.random(n) < density
+        vals = np.where(mask & (vals == 0), 1, vals)
+        pos, val, total = wire._compact(jnp.asarray(vals * mask),
+                                        jnp.asarray(mask), k)
+        pos, val, total = np.asarray(pos), np.asarray(val), int(total)
+        want_pos = np.flatnonzero(mask)
+        assert total == len(want_pos)
+        m = min(total, k)
+        np.testing.assert_array_equal(pos[:m], want_pos[:m])
+        np.testing.assert_array_equal(val[:m], (vals * mask)[want_pos[:m]])
+        np.testing.assert_array_equal(pos[m:], 0)
+        np.testing.assert_array_equal(val[m:], 0)
