@@ -128,6 +128,9 @@ def decode_slice(data: bytes, bit_offset: int, bt: BlockTable, y: np.ndarray,
         _p8(buf), bit_limit, n, wb, hb,
         _p8(a[0]), _p8(a[1]), _p16(a[2]), _p16(a[3]), _p8(a[4]), _p8(a[5]),
         _p8(a[6]), _p8(a[7]), _p16(y), _p16(u), _p16(v), width, height)
+    if bits < 0:
+        raise ValueError(
+            "corrupt evx1 slice: illegal golomb code or coefficient count")
     # copy back into the table (views may have been copies)
     bt.block_type[:] = a[0]
     bt.prediction_target[:] = a[1]
@@ -231,6 +234,10 @@ class NativeDecoder:
             _p16(np.ascontiguousarray(u, np.int16)),
             _p16(np.ascontiguousarray(v, np.int16)),
             width, height, _p8(rgb))
+        if ret == -2:
+            raise ValueError(
+                "corrupt evx1 block table: out-of-range q_index or motion "
+                "vector reaching outside the frame")
         if ret != 0:
             raise RuntimeError("native decode failed")
         return rgb

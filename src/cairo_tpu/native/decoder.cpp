@@ -421,17 +421,40 @@ long long evxn_dec_frame(
     Ctx &ctx = *(Ctx *)h;
     if (!g_tables.ready) return -1;
 
+    // Stream-derived fields feed raw pointer arithmetic below, so a
+    // corrupt/hostile table is rejected up front, before any ring state
+    // is touched (the reference would read out of bounds here;
+    // EVX_PARAM_CHECK only guards debug builds). Returns -2 so the
+    // caller raises instead of decoding adjacent heap memory into pixels.
     unsigned idx = 0;
+    for (unsigned j = 0; j < ctx.ah; j += MB) {
+        for (unsigned i = 0; i < ctx.aw; i += MB, ++idx) {
+            uint8_t t = type[idx];
+            if (!t_copy(t) && q_index[idx] >= 32) return -2;
+            if (!t_motion(t)) continue;
+            long bx = (long)i + mx[idx], by = (long)j + my[idx];
+            long dx = sp_pred[idx] ? kSpDir[sp_index[idx] & 7][0] : 0;
+            long dy = sp_pred[idx] ? kSpDir[sp_index[idx] & 7][1] : 0;
+            long x_lo = bx + (dx < 0 ? dx : 0), y_lo = by + (dy < 0 ? dy : 0);
+            long x_hi = bx + (dx > 0 ? dx : 0) + MB;
+            long y_hi = by + (dy > 0 ? dy : 0) + MB;
+            if (x_lo < 0 || y_lo < 0 || x_hi > (long)ctx.aw ||
+                y_hi > (long)ctx.ah)
+                return -2;
+        }
+    }
+
+    idx = 0;
     for (unsigned j = 0; j < ctx.ah; j += MB) {
         for (unsigned i = 0; i < ctx.aw; i += MB, ++idx) {
             Desc d;
             d.type = type[idx];
-            d.target = t_intra(d.type) ? 0 : target[idx];
+            d.target = t_intra(d.type) ? 0 : (uint8_t)(target[idx] & 3);
             d.mx = t_motion(d.type) ? mx[idx] : 0;
             d.my = t_motion(d.type) ? my[idx] : 0;
             d.sp_pred = t_motion(d.type) ? sp_pred[idx] : 0;
             d.sp_amount = sp_amount[idx];
-            d.sp_index = sp_index[idx];
+            d.sp_index = (uint8_t)(sp_index[idx] & 7);
             d.q_index = q_index[idx];
             decode_block(ctx, d, frame_index, in_y, in_u, in_v, i, j);
         }

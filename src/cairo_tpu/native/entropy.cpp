@@ -247,9 +247,24 @@ inline void encode_ugolomb(Abac &coder, BitSink &sink, unsigned v) {
 
 // Reads one golomb payload through the coder; returns payload and writes
 // the total significant bit count (for the -32768 escape).
-inline uint64_t decode_payload(Abac &coder, BitSource &src, unsigned *nbits) {
+//
+// Adversarial-input bound: no legal evx1 code has more than 16 leading
+// zeros (int16 values cap the payload at 17 significant bits — the
+// -32768 escape, golomb.cpp:63-91). A corrupt or truncated stream can
+// otherwise keep the zero-run spinning forever (the ABAC pads past EOF
+// with sticky bits), so runs beyond the legal maximum set `err`.
+constexpr unsigned kMaxGolombZeros = 16;
+
+inline uint64_t decode_payload(Abac &coder, BitSource &src, unsigned *nbits,
+                               bool *err) {
     unsigned zeros = 0;
-    while (!coder.decode_bit(src)) ++zeros;
+    while (!coder.decode_bit(src)) {
+        if (++zeros > kMaxGolombZeros) {
+            *err = true;
+            *nbits = 0;
+            return 1;
+        }
+    }
     uint64_t payload = 1;
     for (unsigned k = 0; k < zeros; ++k) {
         payload = (payload << 1) | coder.decode_bit(src);
@@ -258,14 +273,14 @@ inline uint64_t decode_payload(Abac &coder, BitSource &src, unsigned *nbits) {
     return payload;
 }
 
-inline unsigned decode_ugolomb(Abac &coder, BitSource &src) {
+inline unsigned decode_ugolomb(Abac &coder, BitSource &src, bool *err) {
     unsigned nbits;
-    return (unsigned)((decode_payload(coder, src, &nbits) - 1) & 0xFFFF);
+    return (unsigned)((decode_payload(coder, src, &nbits, err) - 1) & 0xFFFF);
 }
 
-inline int16_t decode_sgolomb(Abac &coder, BitSource &src) {
+inline int16_t decode_sgolomb(Abac &coder, BitSource &src, bool *err) {
     unsigned nbits;
-    uint64_t payload = decode_payload(coder, src, &nbits);
+    uint64_t payload = decode_payload(coder, src, &nbits, err);
     int32_t sign = 1 - 2 * (int32_t)(payload & 1);
     int32_t result = sign * (int32_t)((payload >> 1) & 0x7FFF);
     if (nbits > 0x20) {
@@ -293,12 +308,16 @@ void encode_block8(Abac &coder, BitSink &sink, const int16_t *block,
 }
 
 void decode_block8(Abac &coder, BitSource &src, int16_t *block,
-                   unsigned stride, int16_t dc_pred) {
+                   unsigned stride, int16_t dc_pred, bool *err) {
     int16_t zz[64];
     memset(zz, 0, sizeof(zz));
-    unsigned run = decode_ugolomb(coder, src);
-    for (unsigned k = 0; k < run && k < 64; ++k) {
-        zz[k] = decode_sgolomb(coder, src);
+    unsigned run = decode_ugolomb(coder, src, err);
+    if (run > 64) {  // no legal encoder emits more than 64 coefficients
+        *err = true;
+        run = 0;
+    }
+    for (unsigned k = 0; k < run && !*err; ++k) {
+        zz[k] = decode_sgolomb(coder, src, err);
     }
     int16_t out[64];
     for (int k = 0; k < 64; ++k) {
@@ -415,7 +434,12 @@ long long evxn_encode_slice(
 }
 
 // Deserializes one slice into the (persistent) table arrays and planes.
-// Returns the number of bits consumed from the source.
+// Returns the number of bits consumed from the source, or -1 if the
+// stream is structurally invalid (illegal golomb run / coefficient
+// count) — corrupt or hostile input can otherwise spin the zero-run
+// loops or flood the block tables. Bit reads past `bit_limit` follow the
+// reference's zero-padding semantics (abac.cpp:367-380), so truncation
+// alone is not an error unless it produces an illegal code.
 long long evxn_decode_slice(
     const uint8_t *data, unsigned long long bit_limit,
     unsigned n_blocks, unsigned wb, unsigned hb,
@@ -428,6 +452,7 @@ long long evxn_decode_slice(
     BitSource src{data, 0, bit_limit};
     Abac coder;
     coder.start_decode(src);
+    bool err = false;
 
     for (unsigned i = 0; i < n_blocks; ++i) {
         type[i] = (uint8_t)coder.decode_bits(3, src);
@@ -436,15 +461,15 @@ long long evxn_decode_slice(
         if (!t_intra(type[i])) target[i] = (uint8_t)coder.decode_bits(2, src);
     }
     int16_t last = 0;
-    for (unsigned i = 0; i < n_blocks; ++i) {
+    for (unsigned i = 0; i < n_blocks && !err; ++i) {
         if (!t_motion(type[i])) continue;
-        mx[i] = (int16_t)(last + decode_sgolomb(coder, src));
+        mx[i] = (int16_t)(last + decode_sgolomb(coder, src, &err));
         last = mx[i];
     }
     last = 0;
-    for (unsigned i = 0; i < n_blocks; ++i) {
+    for (unsigned i = 0; i < n_blocks && !err; ++i) {
         if (!t_motion(type[i])) continue;
-        my[i] = (int16_t)(last + decode_sgolomb(coder, src));
+        my[i] = (int16_t)(last + decode_sgolomb(coder, src, &err));
         last = my[i];
     }
     for (unsigned i = 0; i < n_blocks; ++i) {
@@ -459,31 +484,32 @@ long long evxn_decode_slice(
             sp_index[i] = (uint8_t)coder.decode_bits(3, src);
     }
     last = 0;
-    for (unsigned i = 0; i < n_blocks; ++i) {
+    for (unsigned i = 0; i < n_blocks && !err; ++i) {
         if (t_copy(type[i])) continue;
-        q_index[i] = (uint8_t)(last + decode_sgolomb(coder, src));
+        q_index[i] = (uint8_t)(last + decode_sgolomb(coder, src, &err));
         last = (int16_t)q_index[i];
     }
 
-    for (unsigned b = 0; b < n_blocks; ++b) {
+    for (unsigned b = 0; b < n_blocks && !err; ++b) {
         if (t_copy(type[b])) continue;
         unsigned x = (b % wb) * 16, y = (b / wb) * 16;
         int16_t *mb = yp + y * yw + x;
         int16_t dc = plane_dc_pred(yp, yw, x, y);
-        decode_block8(coder, src, mb, yw, dc);
-        decode_block8(coder, src, mb + 8, yw, mb[0]);
-        decode_block8(coder, src, mb + 8 * yw, yw, mb[0]);
-        decode_block8(coder, src, mb + 8 * yw + 8, yw, mb[8 * yw]);
+        decode_block8(coder, src, mb, yw, dc, &err);
+        decode_block8(coder, src, mb + 8, yw, mb[0], &err);
+        decode_block8(coder, src, mb + 8 * yw, yw, mb[0], &err);
+        decode_block8(coder, src, mb + 8 * yw + 8, yw, mb[8 * yw], &err);
     }
     unsigned cw = yw >> 1;
     for (int16_t *plane : {up, vp}) {
-        for (unsigned b = 0; b < n_blocks; ++b) {
+        for (unsigned b = 0; b < n_blocks && !err; ++b) {
             if (t_copy(type[b])) continue;
             unsigned x = (b % wb) * 8, y = (b / wb) * 8;
             int16_t dc = plane_dc_pred(plane, cw, x, y);
-            decode_block8(coder, src, plane + y * cw + x, cw, dc);
+            decode_block8(coder, src, plane + y * cw + x, cw, dc, &err);
         }
     }
+    if (err) return -1;
     return (long long)src.bit_pos;
 }
 

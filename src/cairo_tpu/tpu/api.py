@@ -40,12 +40,16 @@ def _ring_to_arrays(state):
 
 
 def _state_from_arrays(arrays):
-    """Rebuilds the device pytree; the per-slot prediction windows are
-    derived state and are recomputed from the ring."""
+    """Rebuilds the device pytree; on the XLA anchor path the per-slot
+    prediction windows are derived state recomputed from the ring (the
+    Pallas path reads the ring directly and carries no windows)."""
+    from . import backend
     from . import motion as motion_mod
 
     state = {k: jnp.asarray(arrays[k]) for k in
              ("ring_y", "ring_u", "ring_v", "coef_y", "coef_u", "coef_v")}
+    if backend.use_pallas():
+        return state
     wys, wus, wvs = [], [], []
     for s in range(tables.REFERENCE_FRAME_COUNT):
         wy, wu, wv = motion_mod.pred_windows(

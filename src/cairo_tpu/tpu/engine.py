@@ -22,6 +22,7 @@ import numpy as np
 
 from .. import tables
 from ..blocktypes import COPY_BIT, INTRA_BIT, MOTION_BIT, INTRA_DEFAULT
+from . import backend
 from . import deblock as deblock_mod
 from . import motion as motion_mod
 from . import ops
@@ -32,24 +33,32 @@ RING = tables.REFERENCE_FRAME_COUNT
 
 
 def init_state(aligned_w: int, aligned_h: int):
-    """Carried codec state as a pytree of device arrays."""
+    """Carried codec state as a pytree of device arrays.
+
+    On the Pallas (real-TPU) path, prediction gathering reads the ring
+    planes directly (pallas_pred), so the state is just the ring + the
+    persistent coefficient planes. The XLA anchor path additionally
+    carries cached per-MB prediction/sub-pel windows per ring slot."""
     shape_y = (aligned_h, aligned_w)
     shape_c = (aligned_h // 2, aligned_w // 2)
-    n = (aligned_h // MB) * (aligned_w // MB)
-    ysz = MB + 2 * motion_mod.Y_WPAD
-    csz = MB // 2 + 2 * motion_mod.C_WPAD
-    return dict(
+    state = dict(
         ring_y=jnp.zeros((RING,) + shape_y, jnp.int16),
         ring_u=jnp.zeros((RING,) + shape_c, jnp.int16),
         ring_v=jnp.zeros((RING,) + shape_c, jnp.int16),
         coef_y=jnp.zeros(shape_y, jnp.int16),
         coef_u=jnp.zeros(shape_c, jnp.int16),
         coef_v=jnp.zeros(shape_c, jnp.int16),
-        # cached per-MB prediction/sub-pel windows per ring slot
-        win_y=jnp.zeros((RING, n, ysz, ysz), jnp.int16),
-        win_u=jnp.zeros((RING, n, csz, csz), jnp.int16),
-        win_v=jnp.zeros((RING, n, csz, csz), jnp.int16),
     )
+    if not backend.use_pallas():
+        n = (aligned_h // MB) * (aligned_w // MB)
+        ysz = MB + 2 * motion_mod.Y_WPAD
+        csz = MB // 2 + 2 * motion_mod.C_WPAD
+        state.update(
+            win_y=jnp.zeros((RING, n, ysz, ysz), jnp.int16),
+            win_u=jnp.zeros((RING, n, csz, csz), jnp.int16),
+            win_v=jnp.zeros((RING, n, csz, csz), jnp.int16),
+        )
+    return state
 
 
 def _mb_coords(aligned_w, aligned_h):
@@ -61,15 +70,27 @@ def _mb_coords(aligned_w, aligned_h):
 
 
 def _gather_pred(state, frame_index, target, mx, my, sp_pred, sp_amount,
-                 sp_index):
-    """Prediction blocks for all MBs from the cached per-slot windows.
+                 sp_index, zero):
+    """Prediction blocks for all MBs (zeroed where `zero`, i.e. intra).
 
-    The per-MB window is picked from its prediction target's ring slot with
-    a masked select (bandwidth-bound, no gathers), then the block and its
-    sub-pel neighbor are extracted with one-hot matmuls. Valid fast-path
-    streams have |mv| <= 16 (api checks before dispatch).
+    Pallas path: pallas_pred.pred_planes reads the ring planes directly
+    and fuses block + sub-pel-neighbor extraction, lerp, and zeroing.
+    XLA anchor: the per-MB window is picked from its prediction target's
+    ring slot with a masked select over the cached window state, then the
+    block and its sub-pel neighbor are extracted with one-hot matmuls.
+    Valid fast-path streams have |mv| <= 16 (api checks before dispatch).
     """
     slot_per_mb = (frame_index + RING - target) % RING
+    if backend.use_pallas():
+        from . import pallas_pred
+        py, pu, pv = pallas_pred.pred_planes(
+            state["ring_y"], state["ring_u"], state["ring_v"],
+            slot_per_mb, mx, my, sp_pred, sp_amount,
+            sp_index.astype(jnp.int32), zero)
+        return (ops.plane_to_blocks(py, MB),
+                ops.plane_to_blocks(pu, MB // 2),
+                ops.plane_to_blocks(pv, MB // 2))
+
     def pick(stack):
         sel = None
         for s_ in range(RING):
@@ -77,8 +98,10 @@ def _gather_pred(state, frame_index, target, mx, my, sp_pred, sp_amount,
             sel = jnp.where(m, stack[s_], 0 if sel is None else sel)
         return sel
     wins = (pick(state["win_y"]), pick(state["win_u"]), pick(state["win_v"]))
-    return motion_mod.pred_block_from_windows(
+    pred = motion_mod.pred_block_from_windows(
         wins, mx, my, sp_pred, sp_amount, sp_index.astype(jnp.int32))
+    zm = zero[:, None, None]
+    return tuple(jnp.where(zm, 0, p) for p in pred)
 
 
 def _classify_inter(src, src_planes, ring, state_wins, px, py, quality,
@@ -103,10 +126,16 @@ def _classify_inter(src, src_planes, ring, state_wins, px, py, quality,
         slot = (frame_index + RING - offset) % RING
         ref = tuple(jax.lax.dynamic_index_in_dim(p, slot, keepdims=False)
                     .astype(jnp.int32) for p in (ry, ru, rv))
-        wins = tuple(jax.lax.dynamic_index_in_dim(w, slot, keepdims=False)
-                     for w in state_wins)
-        cand = motion_mod.inter_search(src, src_planes, ref, wins, px, py,
-                                       quality)
+        if state_wins is None:  # pallas: sub-pel windows come from planes
+            cand = motion_mod.inter_search(src, src_planes, ref, None, px,
+                                           py, quality, ring=(ry, ru, rv),
+                                           slot=slot)
+        else:
+            wins = tuple(jax.lax.dynamic_index_in_dim(w, slot,
+                                                      keepdims=False)
+                         for w in state_wins)
+            cand = motion_mod.inter_search(src, src_planes, ref, wins, px,
+                                           py, quality)
         take_on_copy = cand["is_copy"] != best["is_copy"]
         take = jnp.where(take_on_copy, cand["is_copy"],
                          cand["sad"] < best["sad"])
@@ -157,9 +186,10 @@ def encode_step(src_wire, state, *, aligned_w, aligned_h, frame_w, frame_h,
 
     # --- classification
     if is_inter:
+        state_wins = None if backend.use_pallas() else \
+            (state["win_y"], state["win_u"], state["win_v"])
         best = _classify_inter(
-            src, (y_in, u_in, v_in), ring,
-            (state["win_y"], state["win_u"], state["win_v"]), px, py,
+            src, (y_in, u_in, v_in), ring, state_wins, px, py,
             quality, frame_index, n_refs)
     else:
         best = dict(
@@ -177,9 +207,8 @@ def encode_step(src_wire, state, *, aligned_w, aligned_h, frame_w, frame_h,
     # --- prediction blocks (zero for INTRA_DEFAULT)
     pred = _gather_pred(state, frame_index, best["target"], best["motion_x"],
                         best["motion_y"], best["sp_pred"],
-                        best["sp_amount"], best["sp_index"])
-    intra_mask = best["is_intra"][:, None, None]
-    pred = tuple(jnp.where(intra_mask, 0, p) for p in pred)
+                        best["sp_amount"], best["sp_index"],
+                        best["is_intra"])
 
     # --- residual transform
     res = tuple(ops.wrap16(s.astype(jnp.int32) - p)
@@ -254,7 +283,6 @@ def encode_step(src_wire, state, *, aligned_w, aligned_h, frame_w, frame_h,
                                                         copy_map, q_map)
 
     slot = frame_index % RING
-    nwy, nwu, nwv = motion_mod.pred_windows((rec_y, rec_u, rec_v))
     new_state = dict(
         ring_y=jax.lax.dynamic_update_index_in_dim(
             state["ring_y"], rec_y.astype(jnp.int16), slot, 0),
@@ -262,14 +290,17 @@ def encode_step(src_wire, state, *, aligned_w, aligned_h, frame_w, frame_h,
             state["ring_u"], rec_u.astype(jnp.int16), slot, 0),
         ring_v=jax.lax.dynamic_update_index_in_dim(
             state["ring_v"], rec_v.astype(jnp.int16), slot, 0),
-        win_y=jax.lax.dynamic_update_index_in_dim(
-            state["win_y"], nwy.astype(jnp.int16), slot, 0),
-        win_u=jax.lax.dynamic_update_index_in_dim(
-            state["win_u"], nwu.astype(jnp.int16), slot, 0),
-        win_v=jax.lax.dynamic_update_index_in_dim(
-            state["win_v"], nwv.astype(jnp.int16), slot, 0),
         coef_y=coef_y, coef_u=coef_u, coef_v=coef_v,
     )
+    if not backend.use_pallas():
+        nwy, nwu, nwv = motion_mod.pred_windows((rec_y, rec_u, rec_v))
+        new_state.update(
+            win_y=jax.lax.dynamic_update_index_in_dim(
+                state["win_y"], nwy.astype(jnp.int16), slot, 0),
+            win_u=jax.lax.dynamic_update_index_in_dim(
+                state["win_u"], nwu.astype(jnp.int16), slot, 0),
+            win_v=jax.lax.dynamic_update_index_in_dim(
+                state["win_v"], nwv.astype(jnp.int16), slot, 0))
     outputs = dict(
         block_type=block_type.astype(jnp.uint8),
         prediction_target=best["target"].astype(jnp.uint8),
@@ -306,10 +337,10 @@ def _decode_common(table, coef_y, coef_u, coef_v, state, frame_index,
     sp_pred = is_motion & table["sp_pred"]
     qp = table["q_index"].astype(jnp.int32)
 
-    pred = _gather_pred(state, frame_index, target, mx, my, sp_pred,
-                        table["sp_amount"], table["sp_index"].astype(jnp.int32))
     intra_default = is_intra & ~is_motion
-    pred = tuple(jnp.where(intra_default[:, None, None], 0, p) for p in pred)
+    pred = _gather_pred(state, frame_index, target, mx, my, sp_pred,
+                        table["sp_amount"],
+                        table["sp_index"].astype(jnp.int32), intra_default)
 
     cy = ops.plane_to_blocks(coef_y, MB)
     cu = ops.plane_to_blocks(coef_u, MB // 2)
@@ -346,7 +377,6 @@ def _decode_common(table, coef_y, coef_u, coef_v, state, frame_index,
                                                         copy_map, q_map)
 
     slot = frame_index % RING
-    nwy, nwu, nwv = motion_mod.pred_windows((rec_y, rec_u, rec_v))
     new_state = dict(
         ring_y=jax.lax.dynamic_update_index_in_dim(
             state["ring_y"], rec_y.astype(jnp.int16), slot, 0),
@@ -354,15 +384,18 @@ def _decode_common(table, coef_y, coef_u, coef_v, state, frame_index,
             state["ring_u"], rec_u.astype(jnp.int16), slot, 0),
         ring_v=jax.lax.dynamic_update_index_in_dim(
             state["ring_v"], rec_v.astype(jnp.int16), slot, 0),
-        win_y=jax.lax.dynamic_update_index_in_dim(
-            state["win_y"], nwy.astype(jnp.int16), slot, 0),
-        win_u=jax.lax.dynamic_update_index_in_dim(
-            state["win_u"], nwu.astype(jnp.int16), slot, 0),
-        win_v=jax.lax.dynamic_update_index_in_dim(
-            state["win_v"], nwv.astype(jnp.int16), slot, 0),
         coef_y=coef_y.astype(jnp.int16), coef_u=coef_u.astype(jnp.int16),
         coef_v=coef_v.astype(jnp.int16),
     )
+    if not backend.use_pallas():
+        nwy, nwu, nwv = motion_mod.pred_windows((rec_y, rec_u, rec_v))
+        new_state.update(
+            win_y=jax.lax.dynamic_update_index_in_dim(
+                state["win_y"], nwy.astype(jnp.int16), slot, 0),
+            win_u=jax.lax.dynamic_update_index_in_dim(
+                state["win_u"], nwu.astype(jnp.int16), slot, 0),
+            win_v=jax.lax.dynamic_update_index_in_dim(
+                state["win_v"], nwv.astype(jnp.int16), slot, 0))
     return new_state, rec_y, rec_u, rec_v
 
 

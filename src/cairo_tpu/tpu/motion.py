@@ -347,14 +347,19 @@ def pred_block_from_windows(wins, mx, my, sp_pred, sp_amount, sp_index):
 
 
 def inter_search(src, src_planes, ref_planes, wins, px, py, quality, *,
-                 x0=0, full_width=None, halo=0):
+                 x0=0, full_width=None, halo=0, ring=None, slot=None):
     """Dense fast-mode search. src: per-MB blocks (for sub-pel); src_planes:
     (y, u, v) core planes; ref_planes: (y, u, v) reference planes carrying a
     horizontal margin of `halo` columns each side (0 = single chip).
 
     Under spatial sharding, `x0` is the tile's global pixel origin and
     `full_width` the global frame width, so candidate validity is judged
-    against the real frame while all addressing stays tile-local."""
+    against the real frame while all addressing stays tile-local.
+
+    wins=None selects the Pallas sub-pel window gather from the ring plane
+    stacks (`ring` = (ry, ru, rv) of shape (RING, H, W), `slot` a traced
+    scalar); otherwise the windows come from the cached per-slot window
+    state (XLA anchor)."""
     height = src_planes[0].shape[0]
     width = full_width if full_width is not None else src_planes[0].shape[1]
     mad_thr = (jnp.int32(quality) >> 2) + 1
@@ -388,16 +393,25 @@ def inter_search(src, src_planes, ref_planes, wins, px, py, quality, *,
             src_planes[0], hmargin(ref_planes[0], DENSE_R, False), cmax,
             px, py, x0, width, height, mad_thr, hb, wb)
 
-    # ---- sub-pel refinement from cached per-MB windows
-    wy, wu, wv = wins
-    ywin = extract.extract_blocks(wy.astype(jnp.int32),
-                                  mx + DENSE_R, my + DENSE_R, MB + 2)
-    uwin = extract.extract_blocks(wu.astype(jnp.int32),
-                                  (mx >> 1) + C_WPAD - 1, (my >> 1) + C_WPAD - 1,
-                                  MB // 2 + 2)
-    vwin = extract.extract_blocks(wv.astype(jnp.int32),
-                                  (mx >> 1) + C_WPAD - 1, (my >> 1) + C_WPAD - 1,
-                                  MB // 2 + 2)
+    # ---- sub-pel refinement windows (per-MB, centered at the best mv)
+    if wins is None:
+        from . import pallas_pred
+        ywin = pallas_pred.gather_windows(ring[0], slot, mx, my,
+                                          MB + 2, Y_WPAD)
+        uwin = pallas_pred.gather_windows(ring[1], slot, mx >> 1, my >> 1,
+                                          MB // 2 + 2, C_WPAD)
+        vwin = pallas_pred.gather_windows(ring[2], slot, mx >> 1, my >> 1,
+                                          MB // 2 + 2, C_WPAD)
+    else:
+        wy, wu, wv = wins
+        ywin = extract.extract_blocks(wy.astype(jnp.int32),
+                                      mx + DENSE_R, my + DENSE_R, MB + 2)
+        uwin = extract.extract_blocks(wu.astype(jnp.int32),
+                                      (mx >> 1) + C_WPAD - 1,
+                                      (my >> 1) + C_WPAD - 1, MB // 2 + 2)
+        vwin = extract.extract_blocks(wv.astype(jnp.int32),
+                                      (mx >> 1) + C_WPAD - 1,
+                                      (my >> 1) + C_WPAD - 1, MB // 2 + 2)
     ywin, uwin, vwin = jax.lax.optimization_barrier((ywin, uwin, vwin))
 
     best_y = ywin[:, 1:17, 1:17]
