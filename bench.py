@@ -51,14 +51,44 @@ def synth_frames(width, height, n_frames, seed=7):
 
 
 def scaling_number():
+    """Tiling-overhead ratio on the virtual mesh. Failures are reported
+    loudly (stderr + an error key), never silently dropped."""
     try:
         out = subprocess.run(
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "bench", "bench_scaling.py")],
             capture_output=True, text=True, timeout=900)
-        return json.loads(out.stdout.strip().splitlines()[-1])
-    except Exception:
+        if out.returncode != 0:
+            raise RuntimeError(f"rc={out.returncode}: {out.stderr[-400:]}")
+        return json.loads(out.stdout.strip().splitlines()[-1]), None
+    except Exception as e:  # noqa: BLE001 - reported, not swallowed
+        print(f"bench_scaling failed: {e}", file=sys.stderr)
+        return None, f"{type(e).__name__}: {e}"[:200]
+
+
+def reference_psnr(frames, quality=16, n=3):
+    """PSNR of the reference (oracle) encoder's own decode on the same
+    content/quality, for the psnr_ref_db comparison key. Runs ~n frames
+    (the reference encodes 1080p at ~0.4 fps). Returns None if the oracle
+    shim is unavailable."""
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools", "refshim"))
+        import oracle
+        enc = oracle.OracleEncoder()
+        enc.set_quality(quality)
+        dec = oracle.OracleDecoder()
+        errs = []
+        height, width = frames[0].shape[:2]
+        for f in frames[:n]:
+            chunk, _ = enc.encode(f)
+            rgb = dec.decode(chunk, width, height)
+            errs.append(float(np.mean(
+                (rgb.astype(np.float64) - f.astype(np.float64)) ** 2)))
+        return 10 * np.log10(255.0 ** 2 / max(1e-9, float(np.mean(errs))))
+    except Exception as e:  # noqa: BLE001
+        print(f"reference_psnr failed: {e}", file=sys.stderr)
         return None
 
 
@@ -98,8 +128,10 @@ def main():
     enc_fps = n / t_enc
     dec_fps = n / t_dec
     total_fps = 1.0 / (1.0 / enc_fps + 1.0 / dec_fps)
-    psnr = 10 * np.log10(255.0 ** 2 / max(1e-9, float(np.mean(
-        (outs[-1].astype(np.float64) - frames[-1].astype(np.float64)) ** 2))))
+    errs = [float(np.mean((o.astype(np.float64) - f.astype(np.float64)) ** 2))
+            for o, f in zip(outs[-3:], frames[-3:])]
+    psnr = 10 * np.log10(255.0 ** 2 / max(1e-9, float(np.mean(errs))))
+    psnr_ref = reference_psnr(frames)
 
     result = {
         "metric": "encode+decode fps/chip @1080p q16 (evx1-conformant, pipelined)",
@@ -121,9 +153,17 @@ def main():
         "kbits_per_frame": round(
             sum(len(c) for c in chunks) * 8 / len(chunks) / 1000, 1),
     }
-    scaling = scaling_number()
+    if psnr_ref is not None:
+        # the reference encoder's own decode PSNR at the same quality /
+        # content (fast mode trades the stream layout, not fidelity)
+        result["psnr_ref_db"] = round(psnr_ref, 2)
+    scaling, scaling_err = scaling_number()
     if scaling:
-        result["scaling_efficiency_virt8"] = scaling["scaling_efficiency"]
+        # t1/tN on 8 virtual devices sharing 2 host cores: a tiling
+        # OVERHEAD bound, not a scaling efficiency (bench/bench_scaling.py)
+        result["tiling_overhead_t1_over_t8_virt"] = scaling["t1_over_tN"]
+    else:
+        result["tiling_overhead_error"] = scaling_err
     print(json.dumps(result))
 
 

@@ -1,18 +1,18 @@
-"""Tiled-pipeline scaling measurement on the virtual CPU device mesh.
+"""Tiled-pipeline tiling-overhead measurement on the virtual CPU mesh.
 
 Prints ONE JSON line:
-  {"tiles": T, "t_1tile_ms": ..., "t_Ntile_ms": ..., "scaling_efficiency": E}
+  {"tiles": T, "t_1tile_ms": ..., "t_Ntile_ms": ..., "t1_over_tN": R}
 
 Methodology: the same frame width is encoded untiled (T=1) and tiled over
-T virtual devices (strong scaling at fixed work). The virtual devices share
-this host's cores, so wall time does not drop with T; what the ratio
-t1/tN measures is the *tiling overhead* — halo exchange, per-tile window
-rebuilds, duplicated edge work. On real multi-chip hardware each tile owns
-a chip, so per-frame latency approaches t1/N times 1/efficiency; an
-efficiency near 1.0 here is the necessary precondition for near-linear
-multi-chip scaling (the ~400 KB/frame of ICI halo traffic is negligible,
-docs/SHARDING.md).
-"""
+T virtual devices (fixed work). The virtual devices time-share this
+host's cores, so this is NOT a scaling efficiency: wall time cannot drop
+with T here, and the t1/tN ratio is contaminated by whatever real core
+parallelism the host has. What it bounds is the *tiling overhead* -- halo
+exchange, per-tile rebuilds, duplicated edge work. A ratio >= ~1 means
+tiling adds little overhead, which is the necessary single-host
+precondition for multi-chip scaling (where each tile owns a chip and the
+~400 KB/frame of ICI halo traffic is negligible, docs/SHARDING.md). The
+executed multi-process measurement lives in tests/test_multihost.py."""
 
 import json
 import os
@@ -64,7 +64,7 @@ def main():
         "tiles": tiles,
         "t_1tile_ms": round(t1, 1),
         "t_Ntile_ms": round(tn, 1),
-        "scaling_efficiency": round(t1 / tn, 3),
+        "t1_over_tN": round(t1 / tn, 3),
     }))
 
 
