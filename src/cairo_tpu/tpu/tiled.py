@@ -66,6 +66,29 @@ def _align_to(v: int, mult: int) -> int:
     return (v + mult - 1) // mult * mult
 
 
+def _fetch_local_rows(tree, n_tiles):
+    """device_get for (gop, tile)-sharded outputs that works across
+    processes: fetches only the GOP rows whose shards live on this
+    process (multi-host meshes place one GOP row per host, cluster.py).
+
+    Returns (dict of np arrays indexed [local_row, tile, ...], list of
+    global gop indices in row order). Single-process: all rows."""
+    first = jax.tree_util.tree_leaves(tree)[0]
+    gops = sorted({s.index[0].start or 0 for s in first.addressable_shards})
+
+    def fetch(arr):
+        shards = {}
+        for s in arr.addressable_shards:
+            g = s.index[0].start or 0
+            t = s.index[1].start or 0
+            shards[(g, t)] = np.asarray(s.data)[0, 0]
+        return np.stack([
+            np.stack([shards[(g, t)] for t in range(n_tiles)])
+            for g in gops])
+
+    return jax.tree_util.tree_map(fetch, tree), gops
+
+
 class TiledEncoder:
     """Spatially-tiled encoder over a ("gop", "tile") device mesh."""
 
@@ -118,9 +141,15 @@ class TiledEncoder:
             raise ValueError("use encode_batch with n_gops > 1")
         return self.encode_batch([rgb])[0]
 
-    def encode_batch(self, rgbs) -> list[bytes]:
+    def encode_batch(self, rgbs) -> list[bytes | None]:
         """Encodes one frame per GOP (len(rgbs) == n_gops); returns one
-        tiled-stream byte chunk per GOP."""
+        tiled-stream byte chunk per GOP.
+
+        Multi-host (cluster.py): every process calls this with the full
+        frame list (the device compute is SPMD over the global mesh), but
+        each process stitches only the GOP rows whose shards it owns —
+        the entries of other hosts' GOPs are None. Single-process: all
+        entries are bytes."""
         if len(rgbs) != self.n_gops:
             raise ValueError("need one frame per GOP")
         height, width = rgbs[0].shape[:2]
@@ -138,7 +167,7 @@ class TiledEncoder:
         with self._mesh:
             self._state, out = step(batch, self._state, self.frame_index,
                                     self.quality)
-        out = jax.device_get(out)
+        out, local_gops = _fetch_local_rows(out, self.n_tiles)
 
         # stale q_index/variance persistence per (gop, tile) — peek parity
         # with the reference's clear_block_desc quirk (common.cpp:67-73)
@@ -152,29 +181,29 @@ class TiledEncoder:
         frame_desc = struct.pack(_FRAME_FMT, self.frame_type,
                                  self.frame_index, self.quality)
         tile_mbs = [self.tile_w // MB] * self.n_tiles
-        chunks = []
-        for g in range(self.n_gops):
+        chunks: list[bytes | None] = [None] * self.n_gops
+        for row, g in enumerate(local_gops):
             parts = []
             if first:
                 parts.append(pack_tiled_header(width, height, tile_mbs))
             parts.append(frame_desc)
             for t in range(self.n_tiles):
                 bt = BlockTable(
-                    block_type=out["block_type"][g, t],
-                    prediction_target=out["prediction_target"][g, t],
-                    motion_x=out["motion_x"][g, t],
-                    motion_y=out["motion_y"][g, t],
-                    sp_pred=out["sp_pred"][g, t],
-                    sp_amount=out["sp_amount"][g, t],
-                    sp_index=out["sp_index"][g, t],
-                    q_index=out["q_index"][g, t],
-                    variance=out["variance"][g, t])
+                    block_type=out["block_type"][row, t],
+                    prediction_target=out["prediction_target"][row, t],
+                    motion_x=out["motion_x"][row, t],
+                    motion_y=out["motion_y"][row, t],
+                    sp_pred=out["sp_pred"][row, t],
+                    sp_amount=out["sp_amount"][row, t],
+                    sp_index=out["sp_index"][row, t],
+                    q_index=out["q_index"][row, t],
+                    variance=out["variance"][row, t])
                 payload, _ = native.encode_slice(
-                    bt, out["coef_y"][g, t], out["coef_u"][g, t],
-                    out["coef_v"][g, t])
+                    bt, out["coef_y"][row, t], out["coef_u"][row, t],
+                    out["coef_v"][row, t])
                 parts.append(struct.pack("<I", len(payload)))
                 parts.append(payload)
-            chunks.append(b"".join(parts))
+            chunks[g] = b"".join(parts)
 
         self.frame_type = FRAME_INTER
         if tables.PERIODIC_INTRA_RATE and \
