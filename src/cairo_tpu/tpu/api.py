@@ -384,6 +384,9 @@ class TpuDecoder:
                 "(cairo_tpu.cpuref.api.Evx1Decoder)")
         self._state = None
         self._native = None  # sequential C++ decoder once a stream needs it
+        # intra-motion (reference-origin) frames decode on device via the
+        # wavefront schedule; set False to force the native C++ path
+        self.use_wavefront_decode = True
         self.frame_index = 0
         self.width = self.height = 0
         self.last_stats = None
@@ -419,20 +422,57 @@ class TpuDecoder:
                             self._coef_u, self._coef_v)
         t_ent = time.perf_counter()
 
-        has_intra_motion = bool(np.any(
-            (self._bt.block_type & INTRA_BIT).astype(bool)
-            & (self._bt.block_type & MOTION_BIT).astype(bool)))
-        is_motion_blk = (self._bt.block_type & MOTION_BIT).astype(bool)
-        mv_in_range = bool(np.all(
-            (np.abs(self._bt.motion_x[is_motion_blk]) <= 16)
-            & (np.abs(self._bt.motion_y[is_motion_blk]) <= 16)))
+        bt_type = self._bt.block_type
+        im_mask = ((bt_type & INTRA_BIT).astype(bool)
+                   & (bt_type & MOTION_BIT).astype(bool))
+        has_intra_motion = bool(np.any(im_mask))
+        is_motion_blk = (bt_type & MOTION_BIT).astype(bool)
+        inter_motion = is_motion_blk & ~im_mask
+        # fast-mode streams keep |mv| <= 16; the reference's inter search
+        # reaches +-31 (+1 sub-pel) and takes the wide wavefront gather
+        fast_mv = bool(np.all(
+            (np.abs(self._bt.motion_x[inter_motion]) <= 16)
+            & (np.abs(self._bt.motion_y[inter_motion]) <= 16)))
+        wide_mv = fast_mv or bool(np.all(
+            (np.abs(self._bt.motion_x[inter_motion]) <= 32)
+            & (np.abs(self._bt.motion_y[inter_motion]) <= 32)))
+        # intra-motion vectors a conforming encoder can emit (the wave
+        # window reach, tpu/wavefront.py); anything wilder goes to the
+        # validating native decoder
+        im_reach_ok = bool(np.all(
+            (self._bt.motion_x[im_mask] >= -32)
+            & (self._bt.motion_x[im_mask] <= 32)
+            & (self._bt.motion_y[im_mask] >= -48)
+            & (self._bt.motion_y[im_mask] <= 16)))
+        needs_wave = has_intra_motion or not fast_mv
         self.frame_index += 1
-        if self._native is not None or has_intra_motion or not mv_in_range:
+        if self._native is not None or not wide_mv or not im_reach_ok or \
+                (needs_wave and not self.use_wavefront_decode):
             return dict(kind="host", rgb=self._decode_sequential(index))
 
         pos, val, count = native.extract_coo(
             self._bt.block_type, self._aw // MB, self._coef_y, self._coef_u,
             self._coef_v, wire_mod.COO_K)
+        if count <= wire_mod.COO_K and needs_wave:
+            # wavefront device decode (reference-origin streams)
+            from . import wavefront
+            wb, hb = self._aw // MB, self._ah // MB
+            bi, bj, n_active = wavefront.build_compact_schedule(
+                bt_type, wb, hb)
+            in_wire = np.concatenate([
+                np.array([index, n_active], np.int32).view(np.uint8),
+                pos.view(np.uint8), val.view(np.uint8),
+                wire_mod.pack_table_np(self._bt),
+                bi.view(np.uint8).reshape(-1),
+                bj.view(np.uint8).reshape(-1)])
+            with jax.profiler.TraceAnnotation("cairo_tpu.wavefront_decode"):
+                self._state, yuv = wavefront.conformance_decode_step(
+                    in_wire, self._state,
+                    aligned_w=self._aw, aligned_h=self._ah,
+                    deblock=self.config.enable_deblocking)
+            yuv.copy_to_host_async()
+            return dict(kind="wire", yuv=yuv, index=index,
+                        t0=t0, t_ent=t_ent, t_dispatch=time.perf_counter())
         if count <= wire_mod.COO_K:
             in_wire = np.concatenate([
                 np.array([index, 0], np.int32).view(np.uint8),
@@ -446,6 +486,11 @@ class TpuDecoder:
             yuv.copy_to_host_async()
             return dict(kind="wire", yuv=yuv, index=index,
                         t0=t0, t_ent=t_ent, t_dispatch=time.perf_counter())
+        if needs_wave:
+            # COO overflow on a wave-path frame: the dense device path
+            # cannot replay raster causality (nor wide motion) — take the
+            # validating native decoder
+            return dict(kind="host", rgb=self._decode_sequential(index))
         # dense fallback (residual volume beyond COO capacity)
         table = dict(
             block_type=self._bt.block_type,

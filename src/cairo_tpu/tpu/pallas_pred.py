@@ -219,13 +219,17 @@ def _lane_maps(block, wb, cols):
 
 
 def pred_planes(ring_y, ring_u, ring_v, slot, mx, my, sp_pred, sp_amount,
-                sp_index, zero):
+                sp_index, zero, ypad=Y_PAD, cpad=C_PAD):
     """Final prediction planes for every MB (see module docstring).
 
     ring_*: (RING, H, W) int16 recon ring; slot/mx/my/sp_index: (N,) int;
     sp_pred/sp_amount/zero: (N,) bool. Returns (pred_y, pred_u, pred_v)
     int32 planes of the ring plane shapes. Identical to the XLA anchor
-    (engine._gather_pred + intra zeroing) for any int16 mv."""
+    (engine._gather_pred + intra zeroing) for any int16 mv.
+
+    ypad/cpad: motion reach (window clamp). The fast-mode default covers
+    |mv| <= 16 + sub-pel; the wavefront decoder passes 33/17 for the
+    reference encoder's +-31 (+ sub-pel) inter reach."""
     height, width = ring_y.shape[1], ring_y.shape[2]
     hb, wb = height // MB, width // MB
     mx = mx.astype(jnp.int32)
@@ -253,20 +257,20 @@ def pred_planes(ring_y, ring_u, ring_v, slot, mx, my, sp_pred, sp_amount,
         return out[:, :pwidth]
 
     # luma (clamps mirror extract.extract_blocks' clip to the window)
-    bx = jnp.clip(mx + Y_PAD, 0, 2 * Y_PAD)
-    nx = jnp.clip(mx + di + Y_PAD, 0, 2 * Y_PAD)
-    by = jnp.clip(my + Y_PAD, 0, 2 * Y_PAD)
-    ny = jnp.clip(my + dj + Y_PAD, 0, 2 * Y_PAD)
-    py = one_plane(ring_y, bx, nx, by, ny, MB, Y_PAD, height, width)
+    bx = jnp.clip(mx + ypad, 0, 2 * ypad)
+    nx = jnp.clip(mx + di + ypad, 0, 2 * ypad)
+    by = jnp.clip(my + ypad, 0, 2 * ypad)
+    ny = jnp.clip(my + dj + ypad, 0, 2 * ypad)
+    py = one_plane(ring_y, bx, nx, by, ny, MB, ypad, height, width)
 
     cb_sz = MB // 2
     ch, cw = height // 2, width // 2
-    cbx = jnp.clip((mx >> 1) + C_PAD, 0, 2 * C_PAD)
-    cnx = jnp.clip(((mx + di) >> 1) + C_PAD, 0, 2 * C_PAD)
-    cby = jnp.clip((my >> 1) + C_PAD, 0, 2 * C_PAD)
-    cny = jnp.clip(((my + dj) >> 1) + C_PAD, 0, 2 * C_PAD)
-    pu = one_plane(ring_u, cbx, cnx, cby, cny, cb_sz, C_PAD, ch, cw)
-    pv = one_plane(ring_v, cbx, cnx, cby, cny, cb_sz, C_PAD, ch, cw)
+    cbx = jnp.clip((mx >> 1) + cpad, 0, 2 * cpad)
+    cnx = jnp.clip(((mx + di) >> 1) + cpad, 0, 2 * cpad)
+    cby = jnp.clip((my >> 1) + cpad, 0, 2 * cpad)
+    cny = jnp.clip(((my + dj) >> 1) + cpad, 0, 2 * cpad)
+    pu = one_plane(ring_u, cbx, cnx, cby, cny, cb_sz, cpad, ch, cw)
+    pv = one_plane(ring_v, cbx, cnx, cby, cny, cb_sz, cpad, ch, cw)
     return py, pu, pv
 
 

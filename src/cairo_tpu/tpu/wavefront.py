@@ -535,3 +535,356 @@ def init_state(aligned_w: int, aligned_h: int):
         stale_q=jnp.zeros(n, jnp.uint8),
         stale_var=jnp.zeros(n, jnp.int16),
     )
+
+
+# ==========================================================================
+# Wavefront DECODE: reference-origin (intra-motion) streams on device.
+#
+# Decode needs no search — only raster-causal reconstruction
+# (decode.cpp:15-144). Blocks that never read the current frame
+# (INTER_*, INTRA_DEFAULT) are reconstructed densely up front; only the
+# INTRA_MOTION_* blocks enter the wave loop, over a schedule the host
+# COMPACTS to the waves that actually contain intra-motion blocks (the
+# arrays keep the full static shape, a while_loop stops after
+# `n_active` waves — inter frames with a handful of refresh blocks cost
+# a handful of iterations, only intra frames pay the full sweep).
+#
+# Legality note: a conforming encoder only emits causal intra-motion
+# vectors (motion.cpp:238-241), so writing raster-successor blocks
+# before a wave member reads its window is invisible — the member never
+# selects non-causal window content. Hostile streams with non-causal
+# vectors are routed to the validating native decoder by the host
+# (api.TpuDecoder), not here.
+
+def decode_schedule(wb: int, hb: int):
+    """Static geometry of the compacted decode schedule: (n_waves, p)."""
+    bi_t, bj_t, _ = wave_schedule(wb, hb)
+    return bi_t.shape
+
+
+def build_compact_schedule(block_type, wb: int, hb: int):
+    """Host-side: wave membership arrays covering only the intra-motion
+    blocks of one parsed frame. Returns (bi, bj int16 (n_waves, p) with
+    -1 padding, n_active)."""
+    n_waves, p = decode_schedule(wb, hb)
+    bt = np.asarray(block_type, np.int32)
+    im = ((bt & INTRA_BIT) != 0) & ((bt & MOTION_BIT) != 0)
+    bi = np.full((n_waves, p), -1, np.int16)
+    bj = np.full((n_waves, p), -1, np.int16)
+    idx = np.flatnonzero(im)
+    if idx.size == 0:
+        return bi, bj, 0
+    bis = (idx % wb).astype(np.int64)
+    bjs = (idx // wb).astype(np.int64)
+    waves = bis + SKEW * bjs
+    order = np.lexsort((idx, waves))
+    w_prev, row, col = -1, -1, 0
+    for k in order:
+        w = waves[k]
+        if w != w_prev:
+            row += 1
+            col = 0
+            w_prev = w
+        bi[row, col] = bis[k]
+        bj[row, col] = bjs[k]
+        col += 1
+    return bi, bj, row + 1
+
+
+WIDE_YPAD = 33   # reference inter reach: +-31 full-pel + 1 sub-pel
+WIDE_CPAD = 17
+
+
+def _wide_gather_pred(state, frame_index, target, mx, my, sp_pred,
+                      sp_amount, sp_index, zero):
+    """engine._gather_pred with the reference encoder's +-31(+1) motion
+    reach (the fast-mode gather covers only |mv| <= 16 + sub-pel)."""
+    from . import backend as backend_mod
+
+    slot_per_mb = (frame_index + RING - target) % RING
+    if backend_mod.use_pallas():
+        from . import pallas_pred
+        py, pu, pv = pallas_pred.pred_planes(
+            state["ring_y"], state["ring_u"], state["ring_v"], slot_per_mb,
+            mx, my, sp_pred, sp_amount, sp_index, zero,
+            ypad=WIDE_YPAD, cpad=WIDE_CPAD)
+        return (ops.plane_to_blocks(py, MB),
+                ops.plane_to_blocks(pu, MB // 2),
+                ops.plane_to_blocks(pv, MB // 2))
+
+    wins = None
+    for s in range(RING):
+        ws = (extract.mb_windows(state["ring_y"][s].astype(jnp.int32),
+                                 MB, WIDE_YPAD),
+              extract.mb_windows(state["ring_u"][s].astype(jnp.int32),
+                                 MB // 2, WIDE_CPAD),
+              extract.mb_windows(state["ring_v"][s].astype(jnp.int32),
+                                 MB // 2, WIDE_CPAD))
+        m3 = (slot_per_mb == s)[:, None, None]
+        if wins is None:
+            wins = tuple(jnp.where(m3, w, 0) for w in ws)
+        else:
+            wins = tuple(jnp.where(m3, w, o) for w, o in zip(ws, wins))
+
+    d = jnp.asarray(
+        [(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), (-1, 1), (0, 1),
+         (1, 1)], jnp.int32)[sp_index]
+    beta = (extract.extract_blocks(wins[0], mx + WIDE_YPAD, my + WIDE_YPAD,
+                                   MB),
+            extract.extract_blocks(wins[1], (mx >> 1) + WIDE_CPAD,
+                                   (my >> 1) + WIDE_CPAD, MB // 2),
+            extract.extract_blocks(wins[2], (mx >> 1) + WIDE_CPAD,
+                                   (my >> 1) + WIDE_CPAD, MB // 2))
+    tx, ty = mx + d[:, 0], my + d[:, 1]
+    sp = (extract.extract_blocks(wins[0], tx + WIDE_YPAD, ty + WIDE_YPAD,
+                                 MB),
+          extract.extract_blocks(wins[1], (tx >> 1) + WIDE_CPAD,
+                                 (ty >> 1) + WIDE_CPAD, MB // 2),
+          extract.extract_blocks(wins[2], (tx >> 1) + WIDE_CPAD,
+                                 (ty >> 1) + WIDE_CPAD, MB // 2))
+    use_sp = sp_pred[:, None, None]
+    amount = sp_amount[:, None, None]
+    pred = tuple(
+        jnp.where(use_sp, jnp.where(amount, ops.lerp_quarter(b, t),
+                                    ops.lerp_half(b, t)), b)
+        for b, t in zip(beta, sp))
+    zm = zero[:, None, None]
+    return tuple(jnp.where(zm, 0, pr) for pr in pred)
+
+
+
+@functools.partial(jax.jit, static_argnames=("aligned_w", "aligned_h",
+                                             "deblock"),
+                   donate_argnums=(1,))
+def conformance_decode_step(in_wire, state, *, aligned_w, aligned_h,
+                            deblock=True):
+    """Decodes one parsed frame that carries intra-motion blocks.
+
+    state: the engine decode state (ring + persistent coef planes).
+    in_wire: 8-byte [frame_index, n_active] header + residual COO +
+    packed block table + compacted schedule (bi, bj int16). Returns
+    (new_state, yuv wire) like engine.decode_step_coo."""
+    from ..blocktypes import COPY_BIT as _COPY
+
+    wb, hb = aligned_w // MB, aligned_h // MB
+    n = wb * hb
+    n_waves, p = decode_schedule(wb, hb)
+    k = wire_mod.COO_K
+
+    hdr = jax.lax.bitcast_convert_type(in_wire[:8].reshape(2, 4), jnp.int32)
+    frame_index, n_active = hdr[0], hdr[1]
+    body = in_wire[8:]
+    coo_pos = jax.lax.bitcast_convert_type(
+        body[:4 * k].reshape(k, 4), jnp.int32)
+    coo_val = jax.lax.bitcast_convert_type(
+        body[4 * k:6 * k].reshape(k, 2), jnp.int16)
+    o = 6 * k
+    table = wire_mod.unpack_table_wire(body[o:o + 10 * n], n)
+    o += 10 * n
+    bi_t = jax.lax.bitcast_convert_type(
+        body[o:o + 2 * n_waves * p].reshape(n_waves, p, 2), jnp.int16)
+    o += 2 * n_waves * p
+    bj_t = jax.lax.bitcast_convert_type(
+        body[o:o + 2 * n_waves * p].reshape(n_waves, p, 2), jnp.int16)
+
+    block_type = table["block_type"].astype(jnp.int32)
+    is_intra = (block_type & INTRA_BIT) != 0
+    is_motion = (block_type & MOTION_BIT) != 0
+    is_copy = (block_type & _COPY) != 0
+    intra_motion = is_intra & is_motion
+    intra_default = is_intra & ~is_motion
+
+    # --- persistent coefficient planes (stale carry on copy blocks)
+    ys = aligned_h * aligned_w
+    cs = (aligned_h // 2) * (aligned_w // 2)
+    flat = jnp.zeros(ys + 2 * cs, jnp.int32).at[coo_pos].add(
+        coo_val.astype(jnp.int32), mode="drop")
+    copy_map = is_copy.reshape(hb, wb)
+    ymask = jnp.repeat(jnp.repeat(copy_map, MB, axis=0), MB, axis=1)
+    cmask = ymask[::2, ::2]
+    coef_y = jnp.where(ymask, state["coef_y"].astype(jnp.int32),
+                       flat[:ys].reshape(aligned_h, aligned_w))
+    coef_u = jnp.where(cmask, state["coef_u"].astype(jnp.int32),
+                       flat[ys:ys + cs].reshape(aligned_h // 2,
+                                                aligned_w // 2))
+    coef_v = jnp.where(cmask, state["coef_v"].astype(jnp.int32),
+                       flat[ys + cs:].reshape(aligned_h // 2,
+                                              aligned_w // 2))
+
+    # --- dense residual reconstruction for ALL blocks (IDCT of dequant)
+    qp = table["q_index"].astype(jnp.int32)
+    qp4 = jnp.repeat(qp, 4)
+    qm4 = jnp.repeat(intra_default, 4)[:, None, None]
+    quads = ops.mb_quads(ops.plane_to_blocks(coef_y, MB)).reshape(-1, 8, 8)
+    dq_y = jnp.where(qm4, ops.dequantize_8x8(quads, qp4, True, True),
+                     ops.dequantize_8x8(quads, qp4, False, True))
+    cu = ops.plane_to_blocks(coef_u, MB // 2)
+    cv = ops.plane_to_blocks(coef_v, MB // 2)
+    im3 = intra_default[:, None, None]
+    dq_u = jnp.where(im3, ops.dequantize_8x8(cu, qp, True, False),
+                     ops.dequantize_8x8(cu, qp, False, False))
+    dq_v = jnp.where(im3, ops.dequantize_8x8(cv, qp, True, False),
+                     ops.dequantize_8x8(cv, qp, False, False))
+    res_y = ops.quads_to_mb(ops.idct8(dq_y.reshape(-1, 4, 8, 8)))
+    res_u = ops.idct8(dq_u)
+    res_v = ops.idct8(dq_v)
+
+    # --- dense prediction + recon for non-intra-motion blocks
+    target = jnp.where(is_intra, 0,
+                       table["prediction_target"].astype(jnp.int32))
+    mx = jnp.where(is_motion, table["motion_x"].astype(jnp.int32), 0)
+    my = jnp.where(is_motion, table["motion_y"].astype(jnp.int32), 0)
+    sp_pred = is_motion & table["sp_pred"]
+    dense_mx = jnp.where(intra_motion, 0, mx)
+    dense_my = jnp.where(intra_motion, 0, my)
+    pred = _wide_gather_pred(
+        state, frame_index, target, dense_mx, dense_my,
+        sp_pred & ~intra_motion, table["sp_amount"],
+        table["sp_index"].astype(jnp.int32), intra_default | intra_motion)
+    copy3 = is_copy[:, None, None]
+    rec0 = tuple(jnp.where(copy3, pr, ops.wrap16(r + pr))
+                 for r, pr in zip((res_y, res_u, res_v), pred))
+
+    slot = frame_index % RING
+    cur = tuple(
+        jax.lax.dynamic_index_in_dim(state[key], slot, keepdims=False)
+        .astype(jnp.int32)
+        for key in ("ring_y", "ring_u", "ring_v"))
+    wmask = ~intra_motion
+    ymask_w = jnp.repeat(jnp.repeat(wmask.reshape(hb, wb), MB, axis=0),
+                         MB, axis=1)
+    cmask_w = ymask_w[::2, ::2]
+    rec_y0 = jnp.where(ymask_w,
+                       ops.blocks_to_plane(rec0[0], aligned_h, aligned_w),
+                       cur[0])
+    rec_u0 = jnp.where(cmask_w, ops.blocks_to_plane(
+        rec0[1], aligned_h // 2, aligned_w // 2), cur[1])
+    rec_v0 = jnp.where(cmask_w, ops.blocks_to_plane(
+        rec0[2], aligned_h // 2, aligned_w // 2), cur[2])
+    pad_y = jnp.pad(rec_y0, YPAD)
+    pad_u = jnp.pad(rec_u0, CPAD)
+    pad_v = jnp.pad(rec_v0, CPAD)
+
+    # Raster-successor reads: the reference intra search admits below-left
+    # candidates (cx <= px-16 with cy > py-16, motion.cpp:238-241) whose
+    # pixels are raster SUCCESSORS of the reading block — at decode time
+    # the recon buffer still holds the ring slot's previous (4-frames-ago)
+    # content there. The dense phase above already wrote successors into
+    # pad_*, so wave reads compose two planes: pixels raster-before the
+    # member ((y < py) or (y < py+16 and x < px)) come from the written
+    # plane, everything else from the untouched pre-frame (stale) planes.
+    # In member-relative window coords that is a STATIC mask.
+    stale_y = jnp.pad(cur[0], YPAD)
+    stale_u = jnp.pad(cur[1], CPAD)
+    stale_v = jnp.pad(cur[2], CPAD)
+    wy_r = np.arange(80)[:, None]
+    wy_c = np.arange(80)[None, :]
+    ym_np = (wy_r < 48) | ((wy_r < 64) & (wy_c < 32))
+    cm_r = np.arange(40)[:, None]
+    cm_c = np.arange(40)[None, :]
+    cm_np = (cm_r < 24) | ((cm_r < 32) & (cm_c < 16))
+    ymask_win = jnp.asarray(ym_np)[None]
+    cmask_win = jnp.asarray(cm_np)[None]
+
+    # --- wave loop over the compacted intra-motion schedule
+    dirs = jnp.asarray(
+        [(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), (-1, 1), (0, 1),
+         (1, 1)], jnp.int32)
+
+    def cond(carry):
+        return carry[0] < n_active
+
+    def wave_body(carry):
+        w, pad_y, pad_u, pad_v = carry
+        bi = jax.lax.dynamic_index_in_dim(bi_t, w, keepdims=False) \
+            .astype(jnp.int32)
+        bj = jax.lax.dynamic_index_in_dim(bj_t, w, keepdims=False) \
+            .astype(jnp.int32)
+        valid = bi >= 0
+        bi = jnp.maximum(bi, 0)
+        bj = jnp.maximum(bj, 0)
+        px, py = bi * MB, bj * MB
+        m = bj * wb + bi
+
+        ywin_n, uwin_n, vwin_n = _wave_windows(pad_y, pad_u, pad_v, px, py)
+        ywin_s, uwin_s, vwin_s = _wave_windows(stale_y, stale_u, stale_v,
+                                               px, py)
+        ywin = jnp.where(ymask_win, ywin_n, ywin_s)
+        uwin = jnp.where(cmask_win, uwin_n, uwin_s)
+        vwin = jnp.where(cmask_win, vwin_n, vwin_s)
+        dx = jnp.clip(jnp.take(mx, m), -32, 32)
+        dy = jnp.clip(jnp.take(my, m), -48, 16)
+        beta = _extract_cand(ywin, uwin, vwin, dx, dy)
+        spi = jnp.take(table["sp_index"].astype(jnp.int32), m)
+        d = dirs[spi]
+        sp = _extract_cand(ywin, uwin, vwin,
+                           jnp.clip(dx + d[:, 0], -32, 32),
+                           jnp.clip(dy + d[:, 1], -48, 16))
+        use_sp = jnp.take(sp_pred, m)[:, None, None]
+        amount = jnp.take(table["sp_amount"], m)[:, None, None]
+        predw = tuple(
+            jnp.where(use_sp, jnp.where(amount, ops.lerp_quarter(b, t),
+                                        ops.lerp_half(b, t)), b)
+            for b, t in zip(beta, sp))
+        resw = (jnp.take(res_y, m, axis=0), jnp.take(res_u, m, axis=0),
+                jnp.take(res_v, m, axis=0))
+        copyw = jnp.take(is_copy, m)[:, None, None]
+        rec = tuple(jnp.where(copyw, pr, ops.wrap16(r + pr))
+                    for r, pr in zip(resw, predw))
+
+        for kk in range(p):
+            oy = jax.lax.dynamic_slice(
+                pad_y, (py[kk] + YPAD, px[kk] + YPAD), (MB, MB))
+            pad_y = jax.lax.dynamic_update_slice(
+                pad_y, jnp.where(valid[kk], rec[0][kk], oy),
+                (py[kk] + YPAD, px[kk] + YPAD))
+            cyy, cxx = py[kk] // 2, px[kk] // 2
+            ou = jax.lax.dynamic_slice(pad_u, (cyy + CPAD, cxx + CPAD),
+                                       (8, 8))
+            pad_u = jax.lax.dynamic_update_slice(
+                pad_u, jnp.where(valid[kk], rec[1][kk], ou),
+                (cyy + CPAD, cxx + CPAD))
+            ov = jax.lax.dynamic_slice(pad_v, (cyy + CPAD, cxx + CPAD),
+                                       (8, 8))
+            pad_v = jax.lax.dynamic_update_slice(
+                pad_v, jnp.where(valid[kk], rec[2][kk], ov),
+                (cyy + CPAD, cxx + CPAD))
+        return (w + 1, pad_y, pad_u, pad_v)
+
+    _, pad_y, pad_u, pad_v = jax.lax.while_loop(
+        cond, wave_body, (jnp.int32(0), pad_y, pad_u, pad_v))
+
+    rec_y = pad_y[YPAD:YPAD + aligned_h, YPAD:YPAD + aligned_w]
+    rec_u = pad_u[CPAD:CPAD + aligned_h // 2, CPAD:CPAD + aligned_w // 2]
+    rec_v = pad_v[CPAD:CPAD + aligned_h // 2, CPAD:CPAD + aligned_w // 2]
+
+    if deblock:
+        q_map = jnp.where(copy_map, 0, qp.reshape(hb, wb))
+        rec_y, rec_u, rec_v = deblock_mod.deblock_frame(
+            rec_y, rec_u, rec_v, copy_map, q_map)
+
+    new_state = dict(
+        ring_y=jax.lax.dynamic_update_index_in_dim(
+            state["ring_y"], rec_y.astype(jnp.int16), slot, 0),
+        ring_u=jax.lax.dynamic_update_index_in_dim(
+            state["ring_u"], rec_u.astype(jnp.int16), slot, 0),
+        ring_v=jax.lax.dynamic_update_index_in_dim(
+            state["ring_v"], rec_v.astype(jnp.int16), slot, 0),
+        coef_y=coef_y.astype(jnp.int16), coef_u=coef_u.astype(jnp.int16),
+        coef_v=coef_v.astype(jnp.int16),
+    )
+    for key in ("win_y", "win_u", "win_v"):
+        if key in state:  # XLA anchor path carries window state
+            from . import motion as _motion
+            nw = _motion.pred_windows((rec_y.astype(jnp.int32),
+                                       rec_u.astype(jnp.int32),
+                                       rec_v.astype(jnp.int32)))
+            new_state["win_y"] = jax.lax.dynamic_update_index_in_dim(
+                state["win_y"], nw[0].astype(jnp.int16), slot, 0)
+            new_state["win_u"] = jax.lax.dynamic_update_index_in_dim(
+                state["win_u"], nw[1].astype(jnp.int16), slot, 0)
+            new_state["win_v"] = jax.lax.dynamic_update_index_in_dim(
+                state["win_v"], nw[2].astype(jnp.int16), slot, 0)
+            break
+    yuv = wire_mod.pack_yuv_wire(rec_y, rec_u, rec_v)
+    return new_state, yuv

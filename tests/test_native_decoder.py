@@ -11,14 +11,15 @@ from util_video import synth_frames
 
 def test_native_decoder_matches_oracle_on_reference_streams():
     """Reference-encoder streams (intra-motion blocks everywhere) through
-    TpuDecoder take the native sequential path and must reproduce the
-    oracle's RGB output exactly."""
+    TpuDecoder with the device path disabled take the native sequential
+    path and must reproduce the oracle's RGB output exactly."""
     w, h = 96, 64
     frames = synth_frames(w, h, 5)
     oe = OracleEncoder()
     oe.set_quality(12)
     od = OracleDecoder()
     dec = TpuDecoder()
+    dec.use_wavefront_decode = False
     for t, frame in enumerate(frames):
         chunk, _ = oe.encode(frame)
         ref_rgb = od.decode(chunk, w, h)
@@ -56,6 +57,7 @@ def test_native_decoder_matches_cpuref_mixed_stream():
 
     cpu = Evx1Decoder()
     tpu = TpuDecoder()
+    tpu.use_wavefront_decode = False
     for t, c in enumerate(chunks):
         a = cpu.decode(c)
         b = tpu.decode(c)

@@ -101,3 +101,40 @@ def test_gather_windows_matches_anchor():
                                               blk, pad)
             np.testing.assert_array_equal(np.asarray(anchor),
                                           np.asarray(kern))
+
+
+def test_wide_pred_planes_matches_anchor():
+    """The ypad=33 variant used by the wavefront decoder (+-31 + sub-pel
+    reference inter reach)."""
+    from cairo_tpu.tpu import wavefront
+    H, W = 96, 160
+    rng = np.random.default_rng(21)
+    n = (H // MB) * (W // MB)
+    ring = tuple(jnp.asarray(rng.integers(-900, 900, shp).astype(np.int16))
+                 for shp in ((RING, H, W), (RING, H // 2, W // 2),
+                             (RING, H // 2, W // 2)))
+    slot = jnp.asarray(rng.integers(0, 4, n), jnp.int32)
+    mx = jnp.asarray(rng.integers(-32, 33, n), jnp.int32)
+    my = jnp.asarray(rng.integers(-32, 33, n), jnp.int32)
+    spp = jnp.asarray(rng.random(n) < 0.5)
+    spa = jnp.asarray(rng.random(n) < 0.5)
+    spi = jnp.asarray(rng.integers(0, 8, n), jnp.int32)
+    zero = jnp.asarray(rng.random(n) < 0.2)
+
+    state = dict(ring_y=ring[0], ring_u=ring[1], ring_v=ring[2])
+    target = (jnp.int32(0) + RING - slot) % RING  # slot_per_mb == slot
+    got = wavefront._wide_gather_pred(state, jnp.int32(0), target, mx, my,
+                                      spp, spa, spi, zero)
+    # XLA anchor with CAIRO_TPU_PALLAS forced off via direct window path
+    import cairo_tpu.tpu.backend as backend
+    backend.use_pallas.cache_clear()
+    import os
+    os.environ["CAIRO_TPU_PALLAS"] = "0"
+    try:
+        want = wavefront._wide_gather_pred(state, jnp.int32(0), target, mx,
+                                           my, spp, spa, spi, zero)
+    finally:
+        del os.environ["CAIRO_TPU_PALLAS"]
+        backend.use_pallas.cache_clear()
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

@@ -118,3 +118,19 @@ def test_gop_axis_independence():
         enc1.set_quality(14)
         got = b"".join(enc1.encode(f) for f in seq)
         assert got == want
+
+
+@pytest.mark.slow
+def test_4k_tiled_roundtrip():
+    """Driver config 5's resolution: 3840x2160 over 8 tiles on the virtual
+    mesh. Two frames (intra + inter with real motion) through the full
+    sharded pipeline; the decoder must reproduce the encoder's recon
+    exactly. The single-chip 4K numbers live in bench.py (4k_fps)."""
+    frames = moving_frames(3840, 2160, 2, shift=9)
+    enc = tiled.TiledEncoder(n_tiles=8)
+    enc.set_quality(16)
+    dec = tiled.TiledDecoder()
+    for f in frames:
+        chunk = enc.encode(f)
+        out = dec.decode(chunk)
+        assert np.array_equal(out, enc.recon_rgb())
