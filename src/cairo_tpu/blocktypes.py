@@ -68,6 +68,11 @@ class BlockTable:
     def __len__(self):
         return len(self.block_type)
 
+    def copy(self) -> "BlockTable":
+        return BlockTable(**{f: getattr(self, f).copy() for f in (
+            "block_type", "prediction_target", "motion_x", "motion_y",
+            "sp_pred", "sp_amount", "sp_index", "q_index", "variance")})
+
 
 # Sub-pel direction <-> 3-bit index mapping (motion.cpp:61-109):
 # index: 0 1 2   correspond to (dx,dy): (-1,-1) (0,-1) (1,-1)

@@ -472,6 +472,7 @@ class TpuDecoder:
                     deblock=self.config.enable_deblocking)
             yuv.copy_to_host_async()
             return dict(kind="wire", yuv=yuv, index=index,
+                        ring=self._ring_slot_refs(index),
                         t0=t0, t_ent=t_ent, t_dispatch=time.perf_counter())
         if count <= wire_mod.COO_K:
             in_wire = np.concatenate([
@@ -485,6 +486,7 @@ class TpuDecoder:
                     deblock=self.config.enable_deblocking)
             yuv.copy_to_host_async()
             return dict(kind="wire", yuv=yuv, index=index,
+                        ring=self._ring_slot_refs(index),
                         t0=t0, t_ent=t_ent, t_dispatch=time.perf_counter())
         if needs_wave:
             # COO overflow on a wave-path frame: the dense device path
@@ -506,6 +508,15 @@ class TpuDecoder:
             deblock=self.config.enable_deblocking)
         return dict(kind="dense", rgb=rgb)
 
+    def _ring_slot_refs(self, index):
+        """Materialized slices of the just-written ring slot, captured at
+        dispatch time: the next frame's decode step DONATES the state
+        buffers, so a worker thread finishing this frame (decode_many)
+        must never read live self._state — only these separate arrays."""
+        slot = index % tables.REFERENCE_FRAME_COUNT
+        return tuple(self._state[k][slot]
+                     for k in ("ring_y", "ring_u", "ring_v"))
+
     def _finish_decode(self, pending) -> np.ndarray:
         if pending["kind"] == "host":
             return pending["rgb"]
@@ -523,11 +534,10 @@ class TpuDecoder:
             device_and_fetch=(t_fetch1 - pending["t_dispatch"]) * 1e3,
             convert=(time.perf_counter() - t_fetch1) * 1e3))
         if exc_count > wire_mod.EXC_K:
-            # wire was lossy: refetch the exact recon from the ring slot
-            slot = pending["index"] % tables.REFERENCE_FRAME_COUNT
-            y = np.asarray(self._state["ring_y"][slot])
-            u = np.asarray(self._state["ring_u"][slot])
-            v = np.asarray(self._state["ring_v"][slot])
+            # wire was lossy: refetch the exact recon from the ring-slot
+            # refs captured at dispatch (never live state: decode_many's
+            # worker would race the next frame's donation otherwise)
+            y, u, v = (np.asarray(p) for p in pending["ring"])
             rgb = cpu_imaging.yuv420_to_rgb(y, u, v, self.width, self.height)
         return rgb
 

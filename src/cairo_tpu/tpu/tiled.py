@@ -266,22 +266,34 @@ class TiledDecoder:
             width, height, tile_mbs, offset = parse_tiled_header(chunk)
             self._init(width, height, tile_mbs)
         ftype, index, quality = struct.unpack_from(_FRAME_FMT, chunk, offset)
+        if ftype not in (FRAME_INTRA, FRAME_INTER):
+            raise ValueError(f"invalid frame type {ftype}")
+        if not 1 <= quality <= 31:
+            raise ValueError(f"invalid frame quality {quality}")
         if index != self.frame_index:
             raise ValueError("out-of-order frame")
         offset += FRAME_DESC_SIZE
 
+        # decode every tile slice into scratch state and validate BEFORE
+        # committing: raising mid-frame must not desynchronize the
+        # persistent per-tile tables/planes from the device ring
+        scratch = []
         for t in range(self.n_tiles):
             (nbytes,) = struct.unpack_from("<I", chunk, offset)
             offset += 4
             payload = chunk[offset:offset + nbytes]
             offset += nbytes
-            y, u, v = self._coef[t]
-            native.decode_slice(payload, 0, self._bt[t], y, u, v)
-            bt = self._bt[t]
+            bt = self._bt[t].copy()
+            y, u, v = (p.copy() for p in self._coef[t])
+            native.decode_slice(payload, 0, bt, y, u, v)
             if np.any((bt.block_type & INTRA_BIT).astype(bool)
                       & (bt.block_type & MOTION_BIT).astype(bool)):
                 raise ValueError("tiled streams are fast-mode only "
                                  "(no intra-motion blocks)")
+            scratch.append((bt, y, u, v))
+        for t, (bt, y, u, v) in enumerate(scratch):
+            self._bt[t] = bt
+            self._coef[t] = (y, u, v)
 
         table = {
             k: np.stack([getattr(self._bt[t], k)
