@@ -409,3 +409,64 @@ long long evxu_entropy_decode(const unsigned char *data,
 }
 
 } // extern "C"
+
+// ----- analysis.h metric helpers (library-parity differential tests) -----
+
+extern "C" int evxu_block_sad2(short *ly, short *ry, unsigned int y_width) {
+    macroblock l, r;
+    l.data_y = ly; l.data_u = 0; l.data_v = 0; l.stride = y_width;
+    r.data_y = ry; r.data_u = 0; r.data_v = 0; r.stride = y_width;
+    return compute_block_sad(l, r);
+}
+
+extern "C" int evxu_block_sad1(short *dy, unsigned int y_width) {
+    macroblock d;
+    d.data_y = dy; d.data_u = 0; d.data_v = 0; d.stride = y_width;
+    return compute_block_sad(d);
+}
+
+extern "C" int evxu_block_mse(short *ly, short *ry, unsigned int y_width) {
+    macroblock l, r;
+    l.data_y = ly; l.data_u = 0; l.data_v = 0; l.stride = y_width;
+    r.data_y = ry; r.data_u = 0; r.data_v = 0; r.stride = y_width;
+    return compute_block_mse(l, r);
+}
+
+extern "C" int evxu_block_ssd(short *ly, short *ry, unsigned int y_width) {
+    macroblock l, r;
+    l.data_y = ly; l.data_u = 0; l.data_v = 0; l.stride = y_width;
+    r.data_y = ry; r.data_u = 0; r.data_v = 0; r.stride = y_width;
+    return compute_block_ssd(l, r);
+}
+
+extern "C" int evxu_block_mad(short *ly, short *lu, short *lv,
+                              short *ry, short *ru, short *rv,
+                              unsigned int y_width) {
+    macroblock l = make_block(ly, lu, lv, y_width, 0, 0);
+    macroblock r = make_block(ry, ru, rv, y_width, 0, 0);
+    return compute_block_mad(l, r);
+}
+
+extern "C" int evxu_block_mean(short *y, unsigned int y_width) {
+    macroblock b;
+    b.data_y = y; b.data_u = 0; b.data_v = 0; b.stride = y_width;
+    return compute_block_mean(b);
+}
+
+extern "C" int evxu_nonzero_block_mean(short *y, unsigned int y_width) {
+    macroblock b;
+    b.data_y = y; b.data_u = 0; b.data_v = 0; b.stride = y_width;
+    return compute_nonzero_block_mean(b);
+}
+
+extern "C" int evxu_block_variance(short *y, unsigned int y_width) {
+    macroblock b;
+    b.data_y = y; b.data_u = 0; b.data_v = 0; b.stride = y_width;
+    return compute_block_variance(b);
+}
+
+extern "C" int evxu_block_variance3(short *y, unsigned int y_width) {
+    macroblock b;
+    b.data_y = y; b.data_u = 0; b.data_v = 0; b.stride = y_width;
+    return compute_block_variance3(b);
+}

@@ -52,6 +52,19 @@ def _setup():
     L.evxu_entropy_encode.argtypes = [i16, u, ctypes.c_int, u8, u64]
     L.evxu_entropy_decode.restype = ll
     L.evxu_entropy_decode.argtypes = [u8, u64, u, ctypes.c_int, i16]
+    ii = ctypes.c_int
+    for nm in ("evxu_block_sad1", "evxu_block_mean",
+               "evxu_nonzero_block_mean", "evxu_block_variance",
+               "evxu_block_variance3"):
+        fn = getattr(L, nm)
+        fn.restype = ii
+        fn.argtypes = [i16, u]
+    for nm in ("evxu_block_sad2", "evxu_block_mse", "evxu_block_ssd"):
+        fn = getattr(L, nm)
+        fn.restype = ii
+        fn.argtypes = [i16, i16, u]
+    L.evxu_block_mad.restype = ii
+    L.evxu_block_mad.argtypes = [i16] * 6 + [u]
     return L
 
 
@@ -281,3 +294,45 @@ def entropy_decode(data, nbits, count, mode):
     r = L().evxu_entropy_decode(_u8p(buf), nbits, count, mode, _i16p(out))
     assert r >= 0
     return out
+
+
+# ----- analysis.h metric helpers -----
+
+def _c16(a):
+    return np.ascontiguousarray(a, dtype=np.int16)
+
+
+def block_sad(left, right=None):
+    if right is None:
+        return L().evxu_block_sad1(_i16p(_c16(left)), 16)
+    return L().evxu_block_sad2(_i16p(_c16(left)), _i16p(_c16(right)), 16)
+
+
+def block_mse(left, right):
+    return L().evxu_block_mse(_i16p(_c16(left)), _i16p(_c16(right)), 16)
+
+
+def block_ssd(left, right):
+    return L().evxu_block_ssd(_i16p(_c16(left)), _i16p(_c16(right)), 16)
+
+
+def block_mad(ly, lu, lv, ry, ru, rv):
+    return L().evxu_block_mad(
+        _i16p(_c16(ly)), _i16p(_c16(lu)), _i16p(_c16(lv)),
+        _i16p(_c16(ry)), _i16p(_c16(ru)), _i16p(_c16(rv)), 16)
+
+
+def block_mean(y):
+    return L().evxu_block_mean(_i16p(_c16(y)), 16)
+
+
+def nonzero_block_mean(y):
+    return L().evxu_nonzero_block_mean(_i16p(_c16(y)), 16)
+
+
+def block_variance(y):
+    return L().evxu_block_variance(_i16p(_c16(y)), 16)
+
+
+def block_variance3(y):
+    return L().evxu_block_variance3(_i16p(_c16(y)), 16)
