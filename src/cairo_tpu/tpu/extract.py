@@ -56,12 +56,48 @@ def extract_blocks(windows, ox, oy, block: int):
     iota_b = jnp.arange(block)
     ox = jnp.clip(ox, 0, size - block)
     oy = jnp.clip(oy, 0, size - block)
-    # rows_sel[n, j, s] = 1 iff s == oy[n] + j
+    # rows_sel[n, j, s] = 1 iff s == oy[n] + j. The matmuls run in f32 —
+    # EXACT because every output element has exactly one nonzero product
+    # (the one-hot) and any int16 sample is f32-representable; int32
+    # one-hot matmuls would lower to the emulated integer-matmul path on
+    # the TPU MXU (~2x the whole wavefront encoder's device time,
+    # measured at 1080p).
     rows_sel = (iota_s[None, None, :] ==
-                (oy[:, None, None] + iota_b[None, :, None])).astype(jnp.int32)
+                (oy[:, None, None] + iota_b[None, :, None])) \
+        .astype(jnp.float32)
     cols_sel = (iota_s[None, :, None] ==
-                (ox[:, None, None] + iota_b[None, None, :])).astype(jnp.int32)
-    tmp = jnp.einsum("njs,nsc->njc", rows_sel, windows.astype(jnp.int32),
-                     preferred_element_type=jnp.int32)
-    return jnp.einsum("njc,ncb->njb", tmp, cols_sel,
-                      preferred_element_type=jnp.int32)
+                (ox[:, None, None] + iota_b[None, None, :])) \
+        .astype(jnp.float32)
+    tmp = jnp.einsum("njs,nsc->njc", rows_sel,
+                     windows.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("njc,ncb->njb", tmp, cols_sel,
+                     preferred_element_type=jnp.float32)
+    return out.astype(jnp.int32)
+
+
+def extract_blocks_multi(windows, ox, oy, block: int):
+    """Extracts (N, K, block, block) blocks at K per-window offsets.
+
+    windows: (N, S, S); ox/oy: (N, K). One windows read serves all K
+    candidates (the wavefront searches evaluate a 9-candidate ring per
+    step): rows ride one batched matmul, columns a (N, K)-batched one.
+    Same f32-exactness argument as extract_blocks.
+    """
+    n, size, _ = windows.shape
+    iota_s = jnp.arange(size)
+    iota_b = jnp.arange(block)
+    ox = jnp.clip(ox, 0, size - block)
+    oy = jnp.clip(oy, 0, size - block)
+    rows_sel = (iota_s[None, None, None, :] ==
+                (oy[:, :, None, None] + iota_b[None, None, :, None])) \
+        .astype(jnp.float32)                                  # (N,K,B,S)
+    cols_sel = (iota_s[None, None, :, None] ==
+                (ox[:, :, None, None] + iota_b[None, None, None, :])) \
+        .astype(jnp.float32)                                  # (N,K,S,B)
+    tmp = jnp.einsum("nkjs,nsc->nkjc", rows_sel,
+                     windows.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("nkjc,nkcb->nkjb", tmp, cols_sel,
+                     preferred_element_type=jnp.float32)
+    return out.astype(jnp.int32)

@@ -48,6 +48,30 @@ def window_blocks(wins, mx, my):
     return yb, ub, vb
 
 
+def window_blocks_multi(wins, mx, my):
+    """K candidates per MB at once: mx/my (N, K) -> (N, K, ...) blocks."""
+    wy, wu, wv = wins
+    yb = extract.extract_blocks_multi(wy, mx + Y_PAD, my + Y_PAD, MB)
+    ub = extract.extract_blocks_multi(wu, (mx >> 1) + C_PAD,
+                                      (my >> 1) + C_PAD, MB // 2)
+    vb = extract.extract_blocks_multi(wv, (mx >> 1) + C_PAD,
+                                      (my >> 1) + C_PAD, MB // 2)
+    return yb, ub, vb
+
+
+def _sad_k(src_y, cand_y):
+    return jnp.abs(src_y[:, None] - cand_y).sum(axis=(2, 3),
+                                                dtype=jnp.int32)
+
+
+def _mad_k(src, cand):
+    m = jnp.abs(src[0][:, None] - cand[0]).max(axis=(2, 3))
+    m = jnp.maximum(m, jnp.abs(src[1][:, None] - cand[1]).max(axis=(2, 3)))
+    return jnp.maximum(
+        m, jnp.abs(src[2][:, None] - cand[2]).max(axis=(2, 3))
+    ).astype(jnp.int32)
+
+
 def _sad(src_y, cand_y):
     return jnp.abs(src_y - cand_y).sum(axis=(1, 2), dtype=jnp.int32)
 
@@ -82,75 +106,107 @@ def inter_search_exact(src, ref_planes, px, py, quality):
         cx, cy = px + mx, py + my
         return (cx >= 0) & (cx <= width - MB) & (cy >= 0) & (cy <= height - MB)
 
-    # 5 rings x 9 candidates as one scan; each ring re-bases on the current
-    # best, so the base is refreshed every 9 steps via a ring-start flag.
-    offsets = []
-    for step in (16, 8, 4, 2, 1):
-        for j in (-step, 0, step):
-            for i in (-step, 0, step):
-                offsets.append((i, j, 1 if (i, j) == (-step, -step) else 0))
-    offsets = jnp.asarray(offsets, jnp.int32)  # (45, 3)
+    # 5 rings x 9 candidates: candidate POSITIONS within a ring depend
+    # only on the ring-entry best, so each ring's 9 extractions/metrics
+    # batch into one multi call; the order-dependent acceptance
+    # (evaluate_motion_candidate, motion.cpp:111-149) folds sequentially.
+    rings = jnp.asarray(
+        [[(i, j) for j in (-step, 0, step) for i in (-step, 0, step)]
+         for step in (16, 8, 4, 2, 1)], jnp.int32)  # (5, 9, 2)
 
-    def ring_body(carry, off):
-        mx, my, sad, mad, ssd, bx, by = carry
-        is_ring_start = off[2] == 1
-        bx = jnp.where(is_ring_start, mx, bx)
-        by = jnp.where(is_ring_start, my, by)
-        cx, cy = bx + off[0], by + off[1]
-        cand = window_blocks(wins, cx, cy)
-        c_sad = _sad(src[0], cand[0])
-        c_mad = _mad(src, cand)
-        c_ssd = cx * cx + cy * cy
-        copy_branch = mad < mad_thr
-        accept_copy = (c_mad < mad) | ((c_mad == mad) & (c_ssd < ssd))
-        accept_plain = (c_sad < sad) | \
-            ((c_sad == sad) & (c_ssd < ssd) & (c_sad < SAD_THRESHOLD)) | \
-            (c_mad < mad_thr)
-        accept = in_bounds(cx, cy) & ~frozen & \
-            jnp.where(copy_branch, accept_copy, accept_plain)
-        mx = jnp.where(accept, cx, mx)
-        my = jnp.where(accept, cy, my)
-        sad = jnp.where(accept, c_sad, sad)
-        mad = jnp.where(accept, c_mad, mad)
-        ssd = jnp.where(accept, c_ssd, ssd)
-        return (mx, my, sad, mad, ssd, bx, by), None
+    def in_bounds_k(cx, cy):
+        gx, gy = px[:, None] + cx, py[:, None] + cy
+        return (gx >= 0) & (gx <= width - MB) & \
+               (gy >= 0) & (gy <= height - MB)
 
-    carry = (zero, zero, co_sad, co_mad, jnp.full(n, INT32_MAX), zero, zero)
-    (mx, my, best_sad, best_mad, best_ssd, _, _), _ = jax.lax.scan(
-        ring_body, carry, offsets)
+    def ring_fold(carry, offs, c_sad, c_mad, cx, cy, ok):
+        mx, my, sad, mad, ssd = carry
+        for k in range(offs.shape[0]):
+            c_ssd = cx[:, k] * cx[:, k] + cy[:, k] * cy[:, k]
+            copy_branch = mad < mad_thr
+            accept_copy = (c_mad[:, k] < mad) | \
+                ((c_mad[:, k] == mad) & (c_ssd < ssd))
+            accept_plain = (c_sad[:, k] < sad) | \
+                ((c_sad[:, k] == sad) & (c_ssd < ssd) &
+                 (c_sad[:, k] < SAD_THRESHOLD)) | \
+                (c_mad[:, k] < mad_thr)
+            accept = ok[:, k] & ~frozen & \
+                jnp.where(copy_branch, accept_copy, accept_plain)
+            mx = jnp.where(accept, cx[:, k], mx)
+            my = jnp.where(accept, cy[:, k], my)
+            sad = jnp.where(accept, c_sad[:, k], sad)
+            mad = jnp.where(accept, c_mad[:, k], mad)
+            ssd = jnp.where(accept, c_ssd, ssd)
+        return (mx, my, sad, mad, ssd)
 
-    # sub-pel: 8 neighbors × {half, quarter} against the full-pel best
-    best_block = jax.lax.optimization_barrier(window_blocks(wins, mx, my))
-    sp_offsets = jnp.asarray(
+    def ring_body(carry, offs):
+        mx, my = carry[0], carry[1]
+        cx = mx[:, None] + offs[None, :, 0]   # frozen ring base
+        cy = my[:, None] + offs[None, :, 1]
+        ok = in_bounds_k(cx, cy)
+        cand = window_blocks_multi(wins, cx, cy)
+        c_sad = _sad_k(src[0], cand[0])
+        c_mad = _mad_k(src, cand)
+        return ring_fold(carry, offs, c_sad, c_mad, cx, cy, ok), None
+
+    carry = (zero, zero, co_sad, co_mad, jnp.full(n, INT32_MAX))
+    carry, _ = jax.lax.scan(ring_body, carry, rings[:4])
+
+    # last ring inline so its candidates stay live: the final best is one
+    # of these 9 positions ((0,0) is the ring base), so best_block is a
+    # per-MB pick instead of a fresh extraction
+    offs = rings[4]
+    lcx = carry[0][:, None] + offs[None, :, 0]
+    lcy = carry[1][:, None] + offs[None, :, 1]
+    lok = in_bounds_k(lcx, lcy)
+    lcand = window_blocks_multi(wins, lcx, lcy)
+    l_sad = _sad_k(src[0], lcand[0])
+    l_mad = _mad_k(src, lcand)
+    mx, my, best_sad, best_mad, best_ssd = ring_fold(
+        carry, offs, l_sad, l_mad, lcx, lcy, lok)
+    k_sel = jnp.argmax((lcx == mx[:, None]) & (lcy == my[:, None]), axis=1)
+    ksel4 = k_sel[:, None, None, None]
+    best_block = tuple(
+        jnp.take_along_axis(c, ksel4, axis=1)[:, 0] for c in lcand)
+
+    # sub-pel: all 8 neighbor tests at once; the acceptance folds in the
+    # reference's order (per direction: half then quarter)
+    sp_offsets = np.asarray(
         [(di, dj, sp_dir_to_index(di, dj))
          for dj in (-1, 0, 1) for di in (-1, 0, 1) if (di, dj) != (0, 0)],
-        jnp.int32)  # (8, 3)
+        np.int32)  # (8, 3)
+    doffs = jnp.asarray(sp_offsets)
+    tmx = mx[:, None] + doffs[None, :, 0]
+    tmy = my[:, None] + doffs[None, :, 1]
+    ok8 = in_bounds_k(tmx, tmy) & ~frozen[:, None]
+    tests = window_blocks_multi(wins, tmx, tmy)
+    halves = tuple(ops.lerp_half(b[:, None], t)
+                   for b, t in zip(best_block, tests))
+    quarters = tuple(ops.lerp_quarter(b[:, None], t)
+                     for b, t in zip(best_block, tests))
+    h_sad = _sad_k(src[0], halves[0])
+    h_mad = _mad_k(src, halves)
+    q_sad = _sad_k(src[0], quarters[0])
+    q_mad = _mad_k(src, quarters)
 
-    def sp_body(carry, off):
-        sad, mad, sp_en, sp_am, sp_ix = carry
-        tmx, tmy = mx + off[0], my + off[1]
-        valid = in_bounds(tmx, tmy) & ~frozen
-        test = window_blocks(wins, tmx, tmy)
-        for amount, lerp in ((False, ops.lerp_half), (True, ops.lerp_quarter)):
-            cand = tuple(lerp(a, b) for a, b in zip(best_block, test))
-            c_sad = _sad(src[0], cand[0])
-            c_mad = _mad(src, cand)
-            copy_branch = mad < mad_thr
-            accept_copy = c_mad < mad
-            accept_plain = ((c_sad < sad) & (c_sad < SAD_THRESHOLD)) | \
-                (c_mad < mad_thr)
-            accept = valid & jnp.where(copy_branch, accept_copy, accept_plain)
-            sp_en = jnp.where(accept, True, sp_en)
-            sp_am = jnp.where(accept, amount, sp_am)
-            sp_ix = jnp.where(accept, off[2], sp_ix)
-            sad = jnp.where(accept, c_sad, sad)
-            mad = jnp.where(accept, c_mad, mad)
-        return (sad, mad, sp_en, sp_am, sp_ix), None
-
-    carry = (best_sad, best_mad, jnp.zeros(n, bool), jnp.zeros(n, bool),
-             jnp.zeros(n, jnp.int32))
-    (best_sad, best_mad, sp_enabled, sp_amount, sp_index), _ = jax.lax.scan(
-        sp_body, carry, sp_offsets)
+    sad_s, mad_s = best_sad, best_mad
+    sp_enabled = jnp.zeros(n, bool)
+    sp_amount = jnp.zeros(n, bool)
+    sp_index = jnp.zeros(n, jnp.int32)
+    for d in range(8):
+        for amount, c_sad, c_mad in ((False, h_sad[:, d], h_mad[:, d]),
+                                     (True, q_sad[:, d], q_mad[:, d])):
+            copy_branch = mad_s < mad_thr
+            accept = ok8[:, d] & jnp.where(
+                copy_branch, c_mad < mad_s,
+                ((c_sad < sad_s) & (c_sad < SAD_THRESHOLD))
+                | (c_mad < mad_thr))
+            sp_enabled = jnp.where(accept, True, sp_enabled)
+            sp_amount = jnp.where(accept, amount, sp_amount)
+            sp_index = jnp.where(accept, int(sp_offsets[d, 2]), sp_index)
+            sad_s = jnp.where(accept, c_sad, sad_s)
+            mad_s = jnp.where(accept, c_mad, mad_s)
+    best_sad, best_mad = sad_s, mad_s
 
     motion = (mx != 0) | (my != 0) | sp_enabled
     copy = best_mad < mad_thr

@@ -143,21 +143,19 @@ def _eval_accept(sad, mad, ssd, c_sad, c_mad, c_ssd, ok, mad_thr):
     return ok & jnp.where(copy_branch, acc_copy, acc_plain)
 
 
-# full-pel intra candidate table: initial triangle scan (motion.cpp:381-385)
-# then halving refinement rings; ring_start re-bases on the running best
-def _intra_offsets():
-    rows = []
-    for j in (-32, -16, 0):
-        for i in (-16, 0, 16):
-            rows.append((i, j, 1 if (i, j) == (-16, -32) else 0))
+# full-pel intra candidate rings: initial triangle scan (motion.cpp:381-385)
+# then halving refinement rings. Every ring's 9 candidate POSITIONS are
+# relative to the best at ring entry (frozen base), so the 9 extractions
+# batch into one call; only the acceptance fold stays sequential.
+def _intra_rings():
+    rings = [[(i, j) for j in (-32, -16, 0) for i in (-16, 0, 16)]]
     for step in (8, 4, 2, 1):
-        for j in (-step, 0, step):
-            for i in (-step, 0, step):
-                rows.append((i, j, 1 if (i, j) == (-step, -step) else 0))
-    return np.asarray(rows, np.int32)
+        rings.append([(i, j) for j in (-step, 0, step)
+                      for i in (-step, 0, step)])
+    return np.asarray(rings, np.int32)  # (5, 9, 2)
 
 
-_INTRA_OFFSETS = _intra_offsets()
+_INTRA_RINGS = _intra_rings()
 _SP_DIRS = np.asarray([(di, dj, sp_dir_to_index(di, dj))
                        for dj in (-1, 0, 1) for di in (-1, 0, 1)
                        if (di, dj) != (0, 0)], np.int32)
@@ -189,6 +187,28 @@ def _extract_cand(ywin, uwin, vwin, dx, dy):
     return yb, ub, vb
 
 
+def _extract_cand_multi(ywin, uwin, vwin, dx, dy):
+    """K candidates per member at once: dx/dy (P, K) -> (P, K, ...)."""
+    yb = extract.extract_blocks_multi(ywin, dx + 32, dy + 48, MB)
+    ub = extract.extract_blocks_multi(uwin, (dx >> 1) + 16, (dy >> 1) + 24,
+                                      MB // 2)
+    vb = extract.extract_blocks_multi(vwin, (dx >> 1) + 16, (dy >> 1) + 24,
+                                      MB // 2)
+    return yb, ub, vb
+
+
+def _sad_multi(src, cand):
+    return jnp.abs(src[:, None] - cand).sum(axis=(2, 3), dtype=jnp.int32)
+
+
+def _mad3_multi(srcb, cand):
+    m = jnp.abs(srcb[0][:, None] - cand[0]).max(axis=(2, 3))
+    m = jnp.maximum(m, jnp.abs(srcb[1][:, None] - cand[1]).max(axis=(2, 3)))
+    return jnp.maximum(
+        m, jnp.abs(srcb[2][:, None] - cand[2]).max(axis=(2, 3))
+    ).astype(jnp.int32)
+
+
 def _sad(a, b):
     return jnp.abs(a - b).sum(axis=(1, 2), dtype=jnp.int32)
 
@@ -201,67 +221,105 @@ def _mad3(s, c):
 
 def _intra_search_wave(ywin, uwin, vwin, srcb, px, py, self_sad, quality,
                        aligned_w, aligned_h):
-    """Exact replay of calculate_intra_prediction for one wave's members."""
+    """Exact replay of calculate_intra_prediction for one wave's members.
+
+    Candidate POSITIONS within a ring depend only on the ring-entry best,
+    so each ring's 9 extractions/metrics batch into one call; the
+    acceptance recurrence (order-dependent, motion.cpp:111-149) folds
+    sequentially over the precomputed metrics."""
     p = px.shape[0]
     mad_thr = (jnp.int32(quality) >> 2) + 1
 
-    def causal_ok(dx, dy):
-        cx, cy = px + dx, py + dy
-        causal = (cy <= py - MB) | (cx <= px - MB)
+    def causal_ok_multi(dx, dy):
+        cx, cy = px[:, None] + dx, py[:, None] + dy
+        causal = (cy <= py[:, None] - MB) | (cx <= px[:, None] - MB)
         bounds = (cx >= 0) & (cx <= aligned_w - MB) & \
                  (cy >= 0) & (cy <= aligned_h - MB)
         return causal & bounds
 
-    def body(carry, off):
-        bx, by, sad, mad, ssd, base_x, base_y = carry
-        base_x = jnp.where(off[2] == 1, bx, base_x)
-        base_y = jnp.where(off[2] == 1, by, base_y)
-        dx, dy = base_x + off[0], base_y + off[1]
-        ok = causal_ok(dx, dy)
-        cand = _extract_cand(ywin, uwin, vwin, dx, dy)
-        c_sad = _sad(srcb[0], cand[0])
-        c_mad = _mad3(srcb, cand)
+    def ring_body(carry, offs):
+        bx, by, sad, mad, ssd = carry
+        dx = bx[:, None] + offs[None, :, 0]   # frozen ring base (P, 9)
+        dy = by[:, None] + offs[None, :, 1]
+        ok = causal_ok_multi(dx, dy)
+        cand = _extract_cand_multi(ywin, uwin, vwin, dx, dy)
+        c_sad = _sad_multi(srcb[0], cand[0])
+        c_mad = _mad3_multi(srcb, cand)
         c_ssd = dx * dx + dy * dy
-        acc = _eval_accept(sad, mad, ssd, c_sad, c_mad, c_ssd, ok, mad_thr)
-        bx = jnp.where(acc, dx, bx)
-        by = jnp.where(acc, dy, by)
-        sad = jnp.where(acc, c_sad, sad)
-        mad = jnp.where(acc, c_mad, mad)
-        ssd = jnp.where(acc, c_ssd, ssd)
-        return (bx, by, sad, mad, ssd, base_x, base_y), None
+        nbx, nby = bx, by
+        for k in range(offs.shape[0]):
+            acc = _eval_accept(sad, mad, ssd, c_sad[:, k], c_mad[:, k],
+                               c_ssd[:, k], ok[:, k], mad_thr)
+            nbx = jnp.where(acc, dx[:, k], nbx)
+            nby = jnp.where(acc, dy[:, k], nby)
+            sad = jnp.where(acc, c_sad[:, k], sad)
+            mad = jnp.where(acc, c_mad[:, k], mad)
+            ssd = jnp.where(acc, c_ssd[:, k], ssd)
+        return (nbx, nby, sad, mad, ssd), None
 
     zero = jnp.zeros(p, jnp.int32)
-    carry = (zero, zero, self_sad, jnp.full(p, INT32_MAX), jnp.full(p, INT32_MAX),
-             zero, zero)
-    (bx, by, sad, mad, ssd, _, _), _ = jax.lax.scan(
-        body, carry, jnp.asarray(_INTRA_OFFSETS))
+    carry = (zero, zero, self_sad, jnp.full(p, INT32_MAX),
+             jnp.full(p, INT32_MAX))
+    (bx, by, sad, mad, ssd), _ = jax.lax.scan(
+        ring_body, carry, jnp.asarray(_INTRA_RINGS)[:4])
 
-    best_block = _extract_cand(ywin, uwin, vwin, bx, by)
+    # last ring inline so its candidate blocks stay live: the final best
+    # position is always one of these 9 (the ring's (0, 0) offset IS the
+    # entry best), so best_block is a per-member pick instead of a fresh
+    # extraction
+    offs = jnp.asarray(_INTRA_RINGS)[4]
+    ldx = bx[:, None] + offs[None, :, 0]
+    ldy = by[:, None] + offs[None, :, 1]
+    lok = causal_ok_multi(ldx, ldy)
+    lcand = _extract_cand_multi(ywin, uwin, vwin, ldx, ldy)
+    l_sad = _sad_multi(srcb[0], lcand[0])
+    l_mad = _mad3_multi(srcb, lcand)
+    l_ssd = ldx * ldx + ldy * ldy
+    for k in range(offs.shape[0]):
+        acc = _eval_accept(sad, mad, ssd, l_sad[:, k], l_mad[:, k],
+                           l_ssd[:, k], lok[:, k], mad_thr)
+        bx = jnp.where(acc, ldx[:, k], bx)
+        by = jnp.where(acc, ldy[:, k], by)
+        sad = jnp.where(acc, l_sad[:, k], sad)
+        mad = jnp.where(acc, l_mad[:, k], mad)
+        ssd = jnp.where(acc, l_ssd[:, k], ssd)
+    k_sel = jnp.argmax((ldx == bx[:, None]) & (ldy == by[:, None]), axis=1)
+    ksel4 = k_sel[:, None, None, None]
+    best_block = tuple(
+        jnp.take_along_axis(c, ksel4, axis=1)[:, 0] for c in lcand)
 
-    def sp_body(carry, drow):
-        sad, mad, sp_en, sp_am, sp_ix = carry
-        di, dj = drow[0], drow[1]
-        tx, ty = bx + di, by + dj
-        ok = causal_ok(tx, ty)
-        test = _extract_cand(ywin, uwin, vwin, tx, ty)
-        for amount, lerp in ((False, ops.lerp_half), (True, ops.lerp_quarter)):
-            cand = tuple(lerp(a, b) for a, b in zip(best_block, test))
-            c_sad = _sad(srcb[0], cand[0])
-            c_mad = _mad3(srcb, cand)
+    # sub-pel: all 8 neighbor tests extracted/lerped at once; acceptance
+    # folds in the reference's order (per direction: half then quarter)
+    dirs = jnp.asarray(_SP_DIRS)
+    tx = bx[:, None] + dirs[None, :, 0]
+    ty = by[:, None] + dirs[None, :, 1]
+    ok8 = causal_ok_multi(tx, ty)
+    tests = _extract_cand_multi(ywin, uwin, vwin, tx, ty)
+    halves = tuple(ops.lerp_half(b[:, None], t)
+                   for b, t in zip(best_block, tests))
+    quarters = tuple(ops.lerp_quarter(b[:, None], t)
+                     for b, t in zip(best_block, tests))
+    h_sad = _sad_multi(srcb[0], halves[0])
+    h_mad = _mad3_multi(srcb, halves)
+    q_sad = _sad_multi(srcb[0], quarters[0])
+    q_mad = _mad3_multi(srcb, quarters)
+
+    sp_en = jnp.zeros(p, bool)
+    sp_am = jnp.zeros(p, bool)
+    sp_ix = zero
+    for d in range(8):
+        for amount, c_sad, c_mad in ((False, h_sad[:, d], h_mad[:, d]),
+                                     (True, q_sad[:, d], q_mad[:, d])):
             copy_branch = mad < mad_thr
-            acc = ok & jnp.where(copy_branch, c_mad < mad,
-                                 ((c_sad < sad) & (c_sad < SAD_THRESHOLD))
-                                 | (c_mad < mad_thr))
+            acc = ok8[:, d] & jnp.where(
+                copy_branch, c_mad < mad,
+                ((c_sad < sad) & (c_sad < SAD_THRESHOLD))
+                | (c_mad < mad_thr))
             sp_en = jnp.where(acc, True, sp_en)
             sp_am = jnp.where(acc, amount, sp_am)
-            sp_ix = jnp.where(acc, drow[2], sp_ix)
+            sp_ix = jnp.where(acc, int(_SP_DIRS[d, 2]), sp_ix)
             sad = jnp.where(acc, c_sad, sad)
             mad = jnp.where(acc, c_mad, mad)
-        return (sad, mad, sp_en, sp_am, sp_ix), None
-
-    carry = (sad, mad, jnp.zeros(p, bool), jnp.zeros(p, bool), zero)
-    (sad, mad, sp_en, sp_am, sp_ix), _ = jax.lax.scan(
-        sp_body, carry, jnp.asarray(_SP_DIRS))
 
     is_motion = (bx != 0) | (by != 0) | sp_en
     is_copy = mad < mad_thr
@@ -269,17 +327,21 @@ def _intra_search_wave(ywin, uwin, vwin, srcb, px, py, self_sad, quality,
                 is_intra=jnp.ones(p, bool), target=jnp.zeros(p, jnp.int32),
                 motion_x=bx, motion_y=by, sp_pred=sp_en, sp_amount=sp_am,
                 sp_index=sp_ix)
-    # intra prediction block at the final selection (for encode/recon)
-    d = jnp.asarray(
-        [(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), (-1, 1), (0, 1),
-         (1, 1)], jnp.int32)[sp_ix]
-    sp_blk = _extract_cand(ywin, uwin, vwin, bx + d[:, 0], by + d[:, 1])
+    # intra prediction at the final selection: the chosen sub-pel blocks
+    # were already computed above (halves/quarters at direction d); map
+    # sp_index back to the evaluation slot and pick — no new extraction
+    dir_slot = jnp.asarray(
+        np.argsort(_SP_DIRS[:, 2]).astype(np.int32))[sp_ix]
+    ds4 = dir_slot[:, None, None, None]
     use_sp = sp_en[:, None, None]
     amount = sp_am[:, None, None]
     pred = tuple(
-        jnp.where(use_sp, jnp.where(amount, ops.lerp_quarter(b, t),
-                                    ops.lerp_half(b, t)), b)
-        for b, t in zip(best_block, sp_blk))
+        jnp.where(use_sp,
+                  jnp.where(amount,
+                            jnp.take_along_axis(q, ds4, axis=1)[:, 0],
+                            jnp.take_along_axis(h_, ds4, axis=1)[:, 0]),
+                  b)
+        for b, h_, q in zip(best_block, halves, quarters))
     return desc, pred
 
 

@@ -57,3 +57,25 @@ def test_nonaligned_dims():
 @pytest.mark.slow
 def test_cif():
     assert_streams_equal(synth_frames(176, 144, 3))
+
+
+@pytest.mark.slow
+def test_720p_vs_oracle_direct():
+    """Pins the flagship claim at scale: one 720p intra + one inter frame
+    from ConformanceTpuEncoder, byte-exact vs the COMPILED reference
+    encoder (masking only its documented uninitialized bits — header pad
+    byte 7 and unused tail-bit garbage, BASELINE.md). The CIF-and-below
+    tests compare against cpuref; this one goes straight to the oracle at
+    a driver-relevant resolution (VERDICT r3 item 8)."""
+    from oracle import OracleEncoder
+    from util_video import assert_streams_equal as assert_oracle_equal
+
+    frames = synth_frames(1280, 720, 2)
+    oe = OracleEncoder()
+    oe.set_quality(16)
+    enc = ConformanceTpuEncoder()
+    enc.set_quality(16)
+    for t, f in enumerate(frames):
+        ours = enc.encode(f)
+        ref, ref_bits = oe.encode(f)
+        assert_oracle_equal(ours, ref, ref_bits, t, t == 0)
