@@ -92,6 +92,40 @@ def reference_psnr(frames, quality=16, n=3):
         return None
 
 
+def measure_4k(n_frames=6, warmup=2):
+    """Secondary metric: single-chip encode+decode fps at 3840x2160 q16
+    (driver config 5's resolution). The Pallas path carries no window
+    state, so 4K fits one chip comfortably (~160 MB of ring+coef state).
+    Failures are reported, not swallowed."""
+    import time as _time
+
+    try:
+        from cairo_tpu.tpu.api import TpuDecoder, TpuEncoder
+        frames = synth_frames(3840, 2160, warmup + n_frames, seed=11)
+        enc = TpuEncoder()
+        enc.set_quality(16)
+        chunks, enc_times = [], []
+        t0 = _time.perf_counter()
+        for chunk in enc.encode_many(frames):
+            chunks.append(chunk)
+            t1 = _time.perf_counter()
+            enc_times.append(t1 - t0)
+            t0 = t1
+        dec = TpuDecoder()
+        dec_times = []
+        t0 = _time.perf_counter()
+        for _ in dec.decode_many(chunks):
+            t1 = _time.perf_counter()
+            dec_times.append(t1 - t0)
+            t0 = t1
+        t_enc = float(np.median(enc_times[warmup:]))
+        t_dec = float(np.median(dec_times[warmup:]))
+        return round(1.0 / (t_enc + t_dec), 3), None
+    except Exception as e:  # noqa: BLE001
+        print(f"measure_4k failed: {e}", file=sys.stderr)
+        return None, f"{type(e).__name__}: {e}"[:200]
+
+
 def main():
     from cairo_tpu.tpu.api import TpuDecoder, TpuEncoder
 
@@ -157,6 +191,11 @@ def main():
         # the reference encoder's own decode PSNR at the same quality /
         # content (fast mode trades the stream layout, not fidelity)
         result["psnr_ref_db"] = round(psnr_ref, 2)
+    fps_4k, err_4k = measure_4k()
+    if fps_4k is not None:
+        result["4k_fps"] = fps_4k
+    else:
+        result["4k_error"] = err_4k
     scaling, scaling_err = scaling_number()
     if scaling:
         # t1/tN on 8 virtual devices sharing 2 host cores: a tiling

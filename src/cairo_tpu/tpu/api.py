@@ -108,16 +108,20 @@ class TpuEncoder:
             raise ValueError("frame dimensions changed mid-stream")
         return header
 
-    def _dispatch(self, rgb):
+    def _dispatch(self, rgb, src_wire=None):
         """Launches one frame's device work; returns everything the host
         entropy stage needs later. JAX dispatch is async, so the caller may
-        overlap host entropy coding of a previous frame with this one."""
+        overlap host entropy coding of a previous frame with this one.
+        `src_wire` lets encode_many prefetch the host YUV conversion on a
+        worker thread (it must have been built with the frame_index/quality
+        this frame will carry)."""
         header = self._begin_frame(rgb)
         frame_desc = struct.pack(_FRAME_FMT, self.frame_type,
                                  self.frame_index, self.quality)
-        with jax.profiler.TraceAnnotation("cairo_tpu.rgb_to_yuv8"):
-            src_wire = native.rgb_to_yuv8(rgb, self._aw, self._ah,
-                                          self.frame_index, self.quality)
+        if src_wire is None:
+            with jax.profiler.TraceAnnotation("cairo_tpu.rgb_to_yuv8"):
+                src_wire = native.rgb_to_yuv8(rgb, self._aw, self._ah,
+                                              self.frame_index, self.quality)
         with jax.profiler.TraceAnnotation("cairo_tpu.encode_step"):
             self._state, out = engine.encode_step(
                 src_wire, self._state, aligned_w=self._aw,
@@ -199,17 +203,38 @@ class TpuEncoder:
 
     def encode_many(self, frames):
         """Pipelined encode: device computes frame N+1 while a worker
-        thread fetches + entropy-codes frame N (the fetch and the C++ coder
-        release the GIL, so the host conversion of N+1 runs in parallel).
-        Yields one byte chunk per input frame."""
+        thread fetches + entropy-codes frame N, and a second worker
+        converts frame N+2's RGB to the YUV source wire (all C paths
+        release the GIL). Yields one byte chunk per input frame.
+
+        The conversion prefetch assumes the steady-state frame cadence
+        (INTER after the first frame, no quality change mid-iterator);
+        _dispatch re-converts if the prediction missed, so insert_intra /
+        set_quality between frames stay correct — just unprefetched."""
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(1) as pool:
+        with ThreadPoolExecutor(2) as pool:
             fut = None
             for rgb in frames:
-                nxt = self._dispatch(rgb)
+                cfut = None
+                if self._state is not None:
+                    # convert on a worker WHILE the main thread blocks on
+                    # the previous frame's fetch+entropy below — same
+                    # frame_index/quality _dispatch would use, and the
+                    # iterator is never read ahead (generator side effects
+                    # keep sequential semantics)
+                    cfut = pool.submit(
+                        native.rgb_to_yuv8, rgb, self._aw, self._ah,
+                        self.frame_index, self.quality)
+                submitted = (self.frame_index, self.quality)
                 if fut is not None:
                     yield fut.result()
+                src_wire = None
+                if cfut is not None:
+                    src_wire = cfut.result()
+                    if submitted != (self.frame_index, self.quality):
+                        src_wire = None  # consumer mutated state mid-yield
+                nxt = self._dispatch(rgb, src_wire)
                 fut = pool.submit(self._finish, nxt)
             if fut is not None:
                 yield fut.result()
