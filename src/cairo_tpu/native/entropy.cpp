@@ -608,10 +608,12 @@ long long evxn_rgb_to_yuv8(const uint8_t *rgb, unsigned width,
     return ysz + 2 * csz;
 }
 
-// Converts the decoder's 9-bit YUV output wire (tpu/wire.py layout) to RGB
+// Converts the decoder's 8-bit YUV output wire (tpu/wire.py layout) to RGB
 // with the exact integer math of convert.cpp:75-93 (arithmetic shifts,
-// final clip). Returns the wire's exception count; count > exc_k means
-// the wire was clipped and the caller must refetch exact planes.
+// final clip). The wire stores Y minus its +16 offset (legal Y spans
+// [16, 271] = exactly one byte), chroma as-is; out-of-window values ride
+// the exception list. Returns the wire's exception count; count > exc_k
+// means the wire was clipped and the caller must refetch exact planes.
 long long evxn_yuv_wire_to_rgb(
     const uint8_t *wire, unsigned aw, unsigned ah,
     unsigned width, unsigned height, unsigned exc_k, uint8_t *rgb) {
@@ -620,8 +622,7 @@ long long evxn_yuv_wire_to_rgb(
     const long long csz = (long long)cw * chh;
     const long long total = ysz + 2 * csz;
     const uint8_t *lo = wire;
-    const uint8_t *hi = wire + total;
-    const uint8_t *tail = hi + total / 8;
+    const uint8_t *tail = wire + total;
     int exc_count;
     memcpy(&exc_count, tail, 4);
     long long n_exc = exc_count < (int)exc_k ? exc_count : (long long)exc_k;
@@ -630,7 +631,7 @@ long long evxn_yuv_wire_to_rgb(
     // of the (tiny, usually empty) list — avoids materializing a 6 MB
     // int16 temp on the (shared, contended) host cores
     auto wire_val = [&](long long i) -> int {
-        return (int)lo[i] + (((hi[i >> 3] >> (i & 7)) & 1) << 8) - 32;
+        return (int)lo[i] + (i < ysz ? 16 : 0);
     };
     auto exact_val = [&](long long i) -> int {
         for (long long k = 0; k < n_exc; ++k) {
@@ -661,9 +662,7 @@ long long evxn_yuv_wire_to_rgb(
         const long long vrow = urow + csz;
         uint8_t *orow = rgb + (long long)r * width * 3;
         for (unsigned c = 0; c < width; ++c) {
-            long long yi = (long long)r * aw + c;
-            int yy = (int)ylo[c] + (((hi[yi >> 3] >> (yi & 7)) & 1) << 8)
-                     - 32 - 16;
+            int yy = (int)ylo[c];  // wire Y is already value-16
             long long ui = urow + (c >> 1), vi = vrow + (c >> 1);
             int uu = wire_val(ui) - 128;
             int vv = wire_val(vi) - 128;

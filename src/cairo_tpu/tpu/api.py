@@ -203,38 +203,24 @@ class TpuEncoder:
 
     def encode_many(self, frames):
         """Pipelined encode: device computes frame N+1 while a worker
-        thread fetches + entropy-codes frame N, and a second worker
-        converts frame N+2's RGB to the YUV source wire (all C paths
-        release the GIL). Yields one byte chunk per input frame.
+        thread fetches + entropy-codes frame N (the fetch and the C++ coder
+        release the GIL, so the host conversion of N+1 runs in parallel).
+        Yields one byte chunk per input frame.
 
-        The conversion prefetch assumes the steady-state frame cadence
-        (INTER after the first frame, no quality change mid-iterator);
-        _dispatch re-converts if the prediction missed, so insert_intra /
-        set_quality between frames stay correct — just unprefetched."""
+        Note: an attempt to also prefetch the RGB->YUV conversion on a
+        second worker was benchmarked and reverted — without reading the
+        iterator ahead, the conversion can only overlap the previous
+        frame's finish if the DISPATCH waits behind it, and the resulting
+        device idle bubble (~30 ms/frame) costs more than the ~20 ms
+        conversion it hides (1080p: 84 -> 163 ms/frame measured)."""
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(2) as pool:
+        with ThreadPoolExecutor(1) as pool:
             fut = None
             for rgb in frames:
-                cfut = None
-                if self._state is not None:
-                    # convert on a worker WHILE the main thread blocks on
-                    # the previous frame's fetch+entropy below — same
-                    # frame_index/quality _dispatch would use, and the
-                    # iterator is never read ahead (generator side effects
-                    # keep sequential semantics)
-                    cfut = pool.submit(
-                        native.rgb_to_yuv8, rgb, self._aw, self._ah,
-                        self.frame_index, self.quality)
-                submitted = (self.frame_index, self.quality)
+                nxt = self._dispatch(rgb)
                 if fut is not None:
                     yield fut.result()
-                src_wire = None
-                if cfut is not None:
-                    src_wire = cfut.result()
-                    if submitted != (self.frame_index, self.quality):
-                        src_wire = None  # consumer mutated state mid-yield
-                nxt = self._dispatch(rgb, src_wire)
                 fut = pool.submit(self._finish, nxt)
             if fut is not None:
                 yield fut.result()
@@ -494,6 +480,7 @@ class TpuDecoder:
                 self._state, yuv = wavefront.conformance_decode_step(
                     in_wire, self._state,
                     aligned_w=self._aw, aligned_h=self._ah,
+                    frame_w=self.width, frame_h=self.height,
                     deblock=self.config.enable_deblocking)
             yuv.copy_to_host_async()
             return dict(kind="wire", yuv=yuv, index=index,
@@ -508,6 +495,7 @@ class TpuDecoder:
                 self._state, yuv = engine.decode_step_coo(
                     in_wire, self._state,
                     aligned_w=self._aw, aligned_h=self._ah,
+                    frame_w=self.width, frame_h=self.height,
                     deblock=self.config.enable_deblocking)
             yuv.copy_to_host_async()
             return dict(kind="wire", yuv=yuv, index=index,

@@ -418,9 +418,11 @@ def decode_step(table, coef, state, frame_index, *, width, height,
 
 
 @functools.partial(jax.jit, static_argnames=("aligned_w", "aligned_h",
+                                             "frame_w", "frame_h",
                                              "deblock"),
                    donate_argnums=(1,))
-def decode_step_coo(in_wire, state, *, aligned_w, aligned_h, deblock=True):
+def decode_step_coo(in_wire, state, *, aligned_w, aligned_h,
+                    frame_w=None, frame_h=None, deblock=True):
     """Transfer-optimized decode: one packed upload (8-byte header with the
     frame index + residual COO + block table), 9-bit YUV wire out (see
     tpu.wire). Coefficient planes persist in device state; copy blocks keep
@@ -455,5 +457,7 @@ def decode_step_coo(in_wire, state, *, aligned_w, aligned_h, deblock=True):
     new_state, rec_y, rec_u, rec_v = _decode_common(
         table, coef_y, coef_u, coef_v, state, frame_index,
         aligned_w, aligned_h, deblock)
-    yuv = wire_mod.pack_yuv_wire(rec_y, rec_u, rec_v)
+    yuv = wire_mod.pack_yuv_wire(rec_y, rec_u, rec_v,
+                                 frame_w if frame_w is not None else aligned_w,
+                                 frame_h if frame_h is not None else aligned_h)
     return new_state, yuv

@@ -716,10 +716,11 @@ def _wide_gather_pred(state, frame_index, target, mx, my, sp_pred,
 
 
 @functools.partial(jax.jit, static_argnames=("aligned_w", "aligned_h",
+                                             "frame_w", "frame_h",
                                              "deblock"),
                    donate_argnums=(1,))
 def conformance_decode_step(in_wire, state, *, aligned_w, aligned_h,
-                            deblock=True):
+                            frame_w=None, frame_h=None, deblock=True):
     """Decodes one parsed frame that carries intra-motion blocks.
 
     state: the engine decode state (ring + persistent coef planes).
@@ -948,5 +949,8 @@ def conformance_decode_step(in_wire, state, *, aligned_w, aligned_h,
             new_state["win_v"] = jax.lax.dynamic_update_index_in_dim(
                 state["win_v"], nw[2].astype(jnp.int16), slot, 0)
             break
-    yuv = wire_mod.pack_yuv_wire(rec_y, rec_u, rec_v)
+    yuv = wire_mod.pack_yuv_wire(
+        rec_y, rec_u, rec_v,
+        frame_w if frame_w is not None else aligned_w,
+        frame_h if frame_h is not None else aligned_h)
     return new_state, yuv

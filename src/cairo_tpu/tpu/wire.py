@@ -18,10 +18,13 @@ to the fewest bits that stay exact:
   persistent coefficient planes so copy blocks keep their stale content.
 - decoder input: the parsed block table packed the same way + the COO
   list the native parser extracts.
-- decoder output wire: the reconstruction as 9-bit YUV (biased low byte +
-  packed high-bit plane; legal Y values reach 271 = 255+16 and transform
-  ringing overshoots both ends) plus an exception list for values outside
-  [-BIAS, 512-BIAS). The host converts YUV->RGB in native code.
+- decoder output wire: the reconstruction as 8-bit YUV (Y stored minus
+  its +16 luma offset so the legal [16, 271] range fits a byte; chroma
+  as-is) plus an exception list for values outside the window —
+  DCT/deblock ringing overshoots by a handful of pixels per frame even
+  on noise content (measured < ~2k at 1080p q31 vs the 4096 capacity;
+  overflow falls back to an exact ring fetch). The host converts
+  YUV->RGB in native code.
 """
 
 from __future__ import annotations
@@ -31,8 +34,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-BIAS = 32             # yuv wire bias: stored = value + BIAS in [0, 512)
-EXC_K = 4096          # yuv wire exception capacity (values outside 9 bits)
+Y_SHIFT = 16          # yuv wire: Y stored as value-16 (legal [16, 271])
+EXC_K = 4096          # yuv wire exception capacity (values off the window)
 COO_K = 1 << 17       # decoder residual COO capacity (pow-2 keeps 1 compile)
 
 
@@ -233,27 +236,35 @@ def unpack_table_wire(buf, n):
 # --------------------------------------------------------------------------
 # decoder output wire: 9-bit YUV + out-of-range count
 
-def pack_yuv_wire(y, u, v):
+def pack_yuv_wire(y, u, v, frame_w, frame_h):
     """Device side. y/u/v: int32 reconstruction planes (aligned dims).
-    Returns one uint8 wire: biased low bytes + packed high bits + an
-    exception list for values outside 9 bits (transform ringing overshoots
-    the bias margin on real content a few pixels per frame). count > EXC_K
+    Returns one uint8 wire: the planes as bytes (Y minus its +16 offset,
+    chroma as-is) + an exception list carrying the exact value of every
+    IN-FRAME pixel outside the byte window (the MB-alignment pad region
+    reconstructs near 0 — below the Y window — but is never read by the
+    converter, so it must not eat exception capacity). count > EXC_K
     makes the caller refetch the exact ring planes instead."""
-    flats = [p.reshape(-1) for p in (y, u, v)]
-    cat = jnp.concatenate(flats)
-    biased = cat + BIAS
-    clipped = jnp.clip(biased, 0, 511)
-    lo = (clipped & 0xFF).astype(jnp.uint8)
-    hi = _pack_bits((clipped >> 8) & 1)
-    mask = (biased < 0) | (biased > 511)
+    ah, aw = y.shape
+    yin = ((jnp.arange(ah)[:, None] < frame_h)
+           & (jnp.arange(aw)[None, :] < frame_w))
+    ch, cw = u.shape
+    cin = ((jnp.arange(ch)[:, None] < (frame_h + 1) // 2)
+           & (jnp.arange(cw)[None, :] < (frame_w + 1) // 2))
+    cat = jnp.concatenate([p.reshape(-1) for p in (y, u, v)])
+    in_frame = jnp.concatenate([yin.reshape(-1), cin.reshape(-1),
+                                cin.reshape(-1)])
+    ys = y.size
+    shifted = cat - jnp.where(jnp.arange(cat.shape[0]) < ys, Y_SHIFT, 0)
+    lo = jnp.clip(shifted, 0, 255).astype(jnp.uint8)
+    mask = ((shifted < 0) | (shifted > 255)) & in_frame
     exc_pos, exc_val, count = _compact(cat, mask, EXC_K)
-    return jnp.concatenate([lo, hi, _u8(count[None]), _u8(exc_pos),
+    return jnp.concatenate([lo, _u8(count[None]), _u8(exc_pos),
                             _u8(exc_val)])
 
 
 def yuv_wire_nbytes(ah, aw):
     total = ah * aw + 2 * (ah // 2) * (aw // 2)
-    return total + total // 8 + 4 + 6 * EXC_K
+    return total + 4 + 6 * EXC_K
 
 
 def unpack_yuv_wire_np(buf, ah, aw):
@@ -261,14 +272,12 @@ def unpack_yuv_wire_np(buf, ah, aw):
     converter). Returns (y, u, v int16 planes, oob_count)."""
     buf = np.asarray(buf)
     total = ah * aw + 2 * (ah // 2) * (aw // 2)
-    lo = buf[:total].astype(np.int32)
-    hi_bytes = buf[total:total + total // 8]
-    hi = np.unpackbits(hi_bytes, bitorder="little").astype(np.int32)
-    o = total + total // 8
+    vals = buf[:total].astype(np.int32)
+    vals[:ah * aw] += Y_SHIFT
+    o = total
     count = int(buf[o:o + 4].view(np.int32)[0])
     exc_pos = buf[o + 4:o + 4 + 4 * EXC_K].view(np.int32)
     exc_val = buf[o + 4 + 4 * EXC_K:o + 4 + 6 * EXC_K].view(np.int16)
-    vals = lo + (hi << 8) - BIAS
     if count > 0:
         k = min(count, EXC_K)
         vals[exc_pos[:k]] = exc_val[:k]

@@ -37,8 +37,9 @@ def test_coo_overflow_roundtrip(monkeypatch):
 
 
 def test_yuv_wire_exceptions_convert_exactly():
-    """Values outside the 9-bit window ride the exception list; the native
-    converter must reproduce the exact RGB for the affected pixels."""
+    """Values outside the 8-bit window (Y [16, 271], chroma [0, 255])
+    ride the exception list; the native converter must reproduce the
+    exact RGB for the affected pixels."""
     import jax.numpy as jnp
 
     from cairo_tpu import native
@@ -46,7 +47,7 @@ def test_yuv_wire_exceptions_convert_exactly():
 
     rng = np.random.default_rng(1)
     ah, aw, w, h = 32, 64, 60, 30
-    y = rng.integers(0, 272, (ah, aw)).astype(np.int32)
+    y = rng.integers(16, 272, (ah, aw)).astype(np.int32)
     u = rng.integers(0, 256, (ah // 2, aw // 2)).astype(np.int32)
     v = rng.integers(0, 256, (ah // 2, aw // 2)).astype(np.int32)
     # out-of-window values (ringing-style overshoot), incl. chroma
@@ -55,7 +56,7 @@ def test_yuv_wire_exceptions_convert_exactly():
     u[4, 7] = -40
     v[9, 2] = 505
     buf = np.asarray(wire.pack_yuv_wire(jnp.asarray(y), jnp.asarray(u),
-                                        jnp.asarray(v)))
+                                        jnp.asarray(v), w, h))
     rgb, count = native.yuv_wire_to_rgb(buf, aw, ah, w, h, wire.EXC_K)
     assert count == 4
     want = imaging.yuv420_to_rgb(y.astype(np.int16), u.astype(np.int16),
@@ -85,3 +86,24 @@ def test_compact_matches_numpy():
         np.testing.assert_array_equal(val[:m], (vals * mask)[want_pos[:m]])
         np.testing.assert_array_equal(pos[m:], 0)
         np.testing.assert_array_equal(val[m:], 0)
+
+
+def test_yuv_wire_pad_region_not_excepted():
+    """The MB-alignment pad reconstructs near 0 — below the Y window —
+    but is never read by the converter: it must not consume exception
+    capacity (at 1080p the 8 pad rows alone would overflow EXC_K and
+    force a full ring refetch every frame)."""
+    import jax.numpy as jnp
+
+    ah, aw, w, h = 32, 64, 60, 30
+    y = np.full((ah, aw), 100, np.int32)
+    y[h:, :] = 0
+    y[:, w:] = 0
+    u = np.full((ah // 2, aw // 2), 90, np.int32)
+    v = np.full((ah // 2, aw // 2), 90, np.int32)
+    u[(h + 1) // 2:, :] = -5
+    v[:, (w + 1) // 2:] = 300
+    buf = np.asarray(wire.pack_yuv_wire(jnp.asarray(y), jnp.asarray(u),
+                                        jnp.asarray(v), w, h))
+    _, _, _, count = wire.unpack_yuv_wire_np(buf, ah, aw)
+    assert count == 0
