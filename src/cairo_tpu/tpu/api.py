@@ -506,15 +506,22 @@ class TpuDecoder:
             # cannot replay raster causality (nor wide motion) — take the
             # validating native decoder
             return dict(kind="host", rgb=self._decode_sequential(index))
-        # dense fallback (residual volume beyond COO capacity)
+        # dense fallback (residual volume beyond COO capacity). The
+        # arguments are COPIES: the CPU backend zero-copy aliases numpy
+        # inputs into the jit, and under decode_many the NEXT frame's
+        # slice parser mutates these persistent buffers in place while
+        # this (async) computation may still be reading them.
         table = dict(
-            block_type=self._bt.block_type,
-            prediction_target=self._bt.prediction_target,
-            motion_x=self._bt.motion_x, motion_y=self._bt.motion_y,
-            sp_pred=self._bt.sp_pred, sp_amount=self._bt.sp_amount,
-            sp_index=self._bt.sp_index, q_index=self._bt.q_index)
-        coef = dict(coef_y=self._coef_y, coef_u=self._coef_u,
-                    coef_v=self._coef_v)
+            block_type=self._bt.block_type.copy(),
+            prediction_target=self._bt.prediction_target.copy(),
+            motion_x=self._bt.motion_x.copy(),
+            motion_y=self._bt.motion_y.copy(),
+            sp_pred=self._bt.sp_pred.copy(),
+            sp_amount=self._bt.sp_amount.copy(),
+            sp_index=self._bt.sp_index.copy(),
+            q_index=self._bt.q_index.copy())
+        coef = dict(coef_y=self._coef_y.copy(), coef_u=self._coef_u.copy(),
+                    coef_v=self._coef_v.copy())
         self._state, rgb = engine.decode_step(
             table, coef, self._state, index, width=self.width,
             height=self.height, aligned_w=self._aw, aligned_h=self._ah,

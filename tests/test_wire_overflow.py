@@ -107,3 +107,56 @@ def test_yuv_wire_pad_region_not_excepted():
                                         jnp.asarray(v), w, h))
     _, _, _, count = wire.unpack_yuv_wire_np(buf, ah, aw)
     assert count == 0
+
+
+def test_sustained_overflow_pipelined(monkeypatch):
+    """Heavy content overflowing the COO capacity EVERY frame, through
+    the pipelined encode_many/decode_many paths: the encoder's exact-plane
+    refetch and the decoder's dense fallback must stay conformant under
+    worker-thread overlap (VERDICT r3 weakness 7)."""
+    monkeypatch.setattr(wire, "COO_K", 256)
+
+    from cairo_tpu.cpuref.api import Evx1Decoder
+    from cairo_tpu.tpu.api import TpuDecoder, TpuEncoder
+
+    rng = np.random.default_rng(2)
+    w = h = 48  # unique dims: COO_K is baked into the jit trace
+    frames = [rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+              for _ in range(6)]
+    enc = TpuEncoder()
+    enc.set_quality(1)
+    chunks = list(enc.encode_many(frames))
+    assert int((enc._coef_y != 0).sum()) > wire.COO_K  # really overflowed
+
+    cdec = Evx1Decoder()
+    want = [cdec.decode(c) for c in chunks]
+    tdec = TpuDecoder()
+    got = list(tdec.decode_many(chunks))
+    for t, (a, b) in enumerate(zip(want, got)):
+        np.testing.assert_array_equal(b, a, err_msg=f"frame {t}")
+
+
+def test_exception_overflow_refetch_pipelined(monkeypatch):
+    """YUV-wire exception overflow under decode_many: the worker-thread
+    refetch must read the dispatch-time ring-slot captures (the next
+    frame's decode step donates the live state buffers — ADVICE r3
+    item 2), and the refetched pixels must be exact."""
+    monkeypatch.setattr(wire, "EXC_K", 2)
+
+    from cairo_tpu.cpuref.api import Evx1Decoder
+    from cairo_tpu.tpu.api import TpuDecoder, TpuEncoder
+
+    rng = np.random.default_rng(3)
+    w = h = 64  # unique dims (EXC_K baked into the jit trace)
+    frames = [rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+              for _ in range(5)]
+    enc = TpuEncoder()
+    enc.set_quality(31)  # coarse quant -> ringing -> window overshoots
+    chunks = list(enc.encode_many(frames))
+
+    cdec = Evx1Decoder()
+    want = [cdec.decode(c) for c in chunks]
+    tdec = TpuDecoder()
+    got = list(tdec.decode_many(chunks))
+    for t, (a, b) in enumerate(zip(want, got)):
+        np.testing.assert_array_equal(b, a, err_msg=f"frame {t}")
