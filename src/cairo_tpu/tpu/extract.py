@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 
 
@@ -45,6 +46,29 @@ def mb_windows(plane, mb_size: int, pad: int, prepad_x: int = 0):
     return wins.reshape(hb * wb, size, size)
 
 
+def _onehot_select(windows, sel):
+    """Runs a one-hot row/column selection EXACTLY on every backend.
+
+    Every output element has exactly one nonzero product, so the only
+    precision question is representing the window VALUES in the matmul
+    operand dtype. On CPU, f32 matmuls are true f32 — one f32 pass is
+    exact for any int16 sample. On TPU, f32 matmuls run the MXU at
+    DEFAULT precision (operands truncated to bf16 — values beyond +-256
+    lose bits; this produced real off-by-one recon errors on chip), and
+    Precision.HIGHEST costs ~6 bf16 passes; splitting the values into
+    hi/lo bytes (each bf16-exact) costs only 2 native passes and is
+    exact by construction.
+    """
+    if jax.default_backend() == "cpu":
+        return sel(windows.astype(jnp.float32)).astype(jnp.int32)
+    w32 = windows.astype(jnp.int32)
+    lo = sel((w32 & 255).astype(jnp.bfloat16)).astype(jnp.int32)
+    hi = sel(((w32 >> 8) & 255).astype(jnp.bfloat16)).astype(jnp.int32)
+    w = lo + (hi << 8)
+    return ((w + 0x8000) & 0xFFFF) - 0x8000
+
+
+
 def extract_blocks(windows, ox, oy, block: int):
     """Extracts (N, block, block) blocks at per-window offsets (ox, oy).
 
@@ -56,24 +80,20 @@ def extract_blocks(windows, ox, oy, block: int):
     iota_b = jnp.arange(block)
     ox = jnp.clip(ox, 0, size - block)
     oy = jnp.clip(oy, 0, size - block)
-    # rows_sel[n, j, s] = 1 iff s == oy[n] + j. The matmuls run in f32 —
-    # EXACT because every output element has exactly one nonzero product
-    # (the one-hot) and any int16 sample is f32-representable; int32
-    # one-hot matmuls would lower to the emulated integer-matmul path on
-    # the TPU MXU (~2x the whole wavefront encoder's device time,
-    # measured at 1080p).
+    # rows_sel[n, j, s] = 1 iff s == oy[n] + j.
     rows_sel = (iota_s[None, None, :] ==
-                (oy[:, None, None] + iota_b[None, :, None])) \
-        .astype(jnp.float32)
+                (oy[:, None, None] + iota_b[None, :, None]))
     cols_sel = (iota_s[None, :, None] ==
-                (ox[:, None, None] + iota_b[None, None, :])) \
-        .astype(jnp.float32)
-    tmp = jnp.einsum("njs,nsc->njc", rows_sel,
-                     windows.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
-    out = jnp.einsum("njc,ncb->njb", tmp, cols_sel,
-                     preferred_element_type=jnp.float32)
-    return out.astype(jnp.int32)
+                (ox[:, None, None] + iota_b[None, None, :]))
+
+    def sel(plane):
+        tmp = jnp.einsum("njs,nsc->njc", rows_sel.astype(plane.dtype),
+                         plane, preferred_element_type=jnp.float32)
+        return jnp.einsum("njc,ncb->njb", tmp.astype(plane.dtype),
+                          cols_sel.astype(plane.dtype),
+                          preferred_element_type=jnp.float32)
+
+    return _onehot_select(windows, sel)
 
 
 def extract_blocks_multi(windows, ox, oy, block: int):
@@ -90,14 +110,15 @@ def extract_blocks_multi(windows, ox, oy, block: int):
     ox = jnp.clip(ox, 0, size - block)
     oy = jnp.clip(oy, 0, size - block)
     rows_sel = (iota_s[None, None, None, :] ==
-                (oy[:, :, None, None] + iota_b[None, None, :, None])) \
-        .astype(jnp.float32)                                  # (N,K,B,S)
+                (oy[:, :, None, None] + iota_b[None, None, :, None]))
     cols_sel = (iota_s[None, None, :, None] ==
-                (ox[:, :, None, None] + iota_b[None, None, None, :])) \
-        .astype(jnp.float32)                                  # (N,K,S,B)
-    tmp = jnp.einsum("nkjs,nsc->nkjc", rows_sel,
-                     windows.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
-    out = jnp.einsum("nkjc,nkcb->nkjb", tmp, cols_sel,
-                     preferred_element_type=jnp.float32)
-    return out.astype(jnp.int32)
+                (ox[:, :, None, None] + iota_b[None, None, None, :]))
+
+    def sel(plane):
+        tmp = jnp.einsum("nkjs,nsc->nkjc", rows_sel.astype(plane.dtype),
+                         plane, preferred_element_type=jnp.float32)
+        return jnp.einsum("nkjc,nkcb->nkjb", tmp.astype(plane.dtype),
+                          cols_sel.astype(plane.dtype),
+                          preferred_element_type=jnp.float32)
+
+    return _onehot_select(windows, sel)
