@@ -146,12 +146,14 @@ class TpuEncoder:
         return pending
 
     def _finish(self, pending) -> bytes:
-        # one packed transfer; the full-size device outputs are only fetched
-        # on AC overflow (wire.py) or by the debug/peek paths
+        # one packed head transfer; the COO tail rides a second transfer
+        # only when the frame's nonzero count needs it (intra frames), and
+        # the full-size device outputs only on COO overflow / debug paths
         buf = np.asarray(pending["out"]["wire"])
         t_dev = time.perf_counter()
         n = (self._aw // MB) * (self._ah // MB)
-        out, count, pos, val = wire_mod.unpack_encode_wire(buf, n)
+        out, count, pos, val = wire_mod.unpack_encode_wire(
+            buf, n, tail=lambda: pending["out"]["wire_tail"])
         copy = (out["block_type"].astype(np.int32) & COPY_BIT) != 0
         if count <= wire_mod.COO_K:
             wire_mod.apply_coo_np(self._coef_y, self._coef_u, self._coef_v,
@@ -464,6 +466,11 @@ class TpuDecoder:
         pos, val, count = native.extract_coo(
             self._bt.block_type, self._aw // MB, self._coef_y, self._coef_u,
             self._coef_v, wire_mod.COO_K)
+        # upload capacity bucket: typical inter frames carry a few
+        # thousand nonzeros — shipping the small bucket saves ~600 KB of
+        # link time per frame; heavy (intra) frames take the full one
+        small = min(wire_mod.COO_SMALL, wire_mod.COO_K)
+        coo_k = small if count <= small else wire_mod.COO_K
         if count <= wire_mod.COO_K and needs_wave:
             # wavefront device decode (reference-origin streams)
             from . import wavefront
@@ -472,7 +479,7 @@ class TpuDecoder:
                 bt_type, wb, hb)
             in_wire = np.concatenate([
                 np.array([index, n_active], np.int32).view(np.uint8),
-                pos.view(np.uint8), val.view(np.uint8),
+                pos[:coo_k].view(np.uint8), val[:coo_k].view(np.uint8),
                 wire_mod.pack_table_np(self._bt),
                 bi.view(np.uint8).reshape(-1),
                 bj.view(np.uint8).reshape(-1)])
@@ -481,7 +488,7 @@ class TpuDecoder:
                     in_wire, self._state,
                     aligned_w=self._aw, aligned_h=self._ah,
                     frame_w=self.width, frame_h=self.height,
-                    deblock=self.config.enable_deblocking)
+                    deblock=self.config.enable_deblocking, coo_k=coo_k)
             yuv.copy_to_host_async()
             return dict(kind="wire", yuv=yuv, index=index,
                         ring=self._ring_slot_refs(index),
@@ -489,14 +496,14 @@ class TpuDecoder:
         if count <= wire_mod.COO_K:
             in_wire = np.concatenate([
                 np.array([index, 0], np.int32).view(np.uint8),
-                pos.view(np.uint8), val.view(np.uint8),
+                pos[:coo_k].view(np.uint8), val[:coo_k].view(np.uint8),
                 wire_mod.pack_table_np(self._bt)])
             with jax.profiler.TraceAnnotation("cairo_tpu.decode_step"):
                 self._state, yuv = engine.decode_step_coo(
                     in_wire, self._state,
                     aligned_w=self._aw, aligned_h=self._ah,
                     frame_w=self.width, frame_h=self.height,
-                    deblock=self.config.enable_deblocking)
+                    deblock=self.config.enable_deblocking, coo_k=coo_k)
             yuv.copy_to_host_async()
             return dict(kind="wire", yuv=yuv, index=index,
                         ring=self._ring_slot_refs(index),

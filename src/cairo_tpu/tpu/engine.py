@@ -312,10 +312,11 @@ def encode_step(src_wire, state, *, aligned_w, aligned_h, frame_w, frame_h,
         variance=ops.wrap16(variance).astype(jnp.int16),
         coef_y=coef_y, coef_u=coef_u, coef_v=coef_v,
     )
-    # single packed host transfer; the full-size fields above stay on device
-    # unless the host needs them (COO overflow, debug)
-    outputs["wire"] = wire_mod.pack_encode_wire(outputs, coef_y, coef_u,
-                                                coef_v, copy_mb)
+    # head wire = one packed host transfer per frame; the COO tail buffer
+    # and the full-size fields stay on device unless the host needs them
+    # (count beyond the head capacity / COO overflow / debug)
+    outputs["wire"], outputs["wire_tail"] = wire_mod.pack_encode_wire(
+        outputs, coef_y, coef_u, coef_v, copy_mb)
     return new_state, outputs
 
 
@@ -419,16 +420,16 @@ def decode_step(table, coef, state, frame_index, *, width, height,
 
 @functools.partial(jax.jit, static_argnames=("aligned_w", "aligned_h",
                                              "frame_w", "frame_h",
-                                             "deblock"),
+                                             "deblock", "coo_k"),
                    donate_argnums=(1,))
 def decode_step_coo(in_wire, state, *, aligned_w, aligned_h,
-                    frame_w=None, frame_h=None, deblock=True):
+                    frame_w=None, frame_h=None, deblock=True, coo_k=None):
     """Transfer-optimized decode: one packed upload (8-byte header with the
     frame index + residual COO + block table), 9-bit YUV wire out (see
     tpu.wire). Coefficient planes persist in device state; copy blocks keep
     their stale residuals, non-copy blocks are rebuilt from the COO list."""
     n = (aligned_w // MB) * (aligned_h // MB)
-    k = wire_mod.COO_K
+    k = coo_k if coo_k is not None else wire_mod.COO_K
     hdr = jax.lax.bitcast_convert_type(in_wire[:8].reshape(2, 4), jnp.int32)
     frame_index = hdr[0]
     body = in_wire[8:]

@@ -717,10 +717,11 @@ def _wide_gather_pred(state, frame_index, target, mx, my, sp_pred,
 
 @functools.partial(jax.jit, static_argnames=("aligned_w", "aligned_h",
                                              "frame_w", "frame_h",
-                                             "deblock"),
+                                             "deblock", "coo_k"),
                    donate_argnums=(1,))
 def conformance_decode_step(in_wire, state, *, aligned_w, aligned_h,
-                            frame_w=None, frame_h=None, deblock=True):
+                            frame_w=None, frame_h=None, deblock=True,
+                            coo_k=None):
     """Decodes one parsed frame that carries intra-motion blocks.
 
     state: the engine decode state (ring + persistent coef planes).
@@ -732,7 +733,7 @@ def conformance_decode_step(in_wire, state, *, aligned_w, aligned_h,
     wb, hb = aligned_w // MB, aligned_h // MB
     n = wb * hb
     n_waves, p = decode_schedule(wb, hb)
-    k = wire_mod.COO_K
+    k = coo_k if coo_k is not None else wire_mod.COO_K
 
     hdr = jax.lax.bitcast_convert_type(in_wire[:8].reshape(2, 4), jnp.int32)
     frame_index, n_active = hdr[0], hdr[1]

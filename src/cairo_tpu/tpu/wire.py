@@ -36,7 +36,13 @@ import jax.numpy as jnp
 
 Y_SHIFT = 16          # yuv wire: Y stored as value-16 (legal [16, 271])
 EXC_K = 4096          # yuv wire exception capacity (values off the window)
-COO_K = 1 << 17       # decoder residual COO capacity (pow-2 keeps 1 compile)
+COO_K = 1 << 17       # residual COO capacity (pow-2 keeps 1 compile)
+# Typical INTER frames at 1080p q16 carry ~5-13k nonzeros; intra frames
+# ~120k (measured). The encode wire ships a COO_SMALL head always and a
+# tail buffer only when the count needs it, and the decode upload picks
+# the matching capacity bucket — the link is the pipeline bottleneck and
+# a fixed 131072-entry wire wastes ~600 KB/frame on inter frames.
+COO_SMALL = 1 << 14
 
 
 def _compact(vals, mask, k, val_dtype=jnp.int16):
@@ -114,13 +120,18 @@ def pack_encode_wire(table, coef_y, coef_u, coef_v, copy_mb):
         jnp.where(cmask, 0, coef_u.astype(jnp.int32)).reshape(-1),
         jnp.where(cmask, 0, coef_v.astype(jnp.int32)).reshape(-1)])
     pos, val, count = _compact(flat, flat != 0, COO_K)
-    parts += [_u8(count[None]), _u8(pos), _u8(val)]
-    return jnp.concatenate(parts)
+    parts += [_u8(count[None]), _u8(pos[:COO_SMALL]), _u8(val[:COO_SMALL])]
+    tail = jnp.concatenate([_u8(pos[COO_SMALL:]), _u8(val[COO_SMALL:])])
+    return jnp.concatenate(parts), tail
 
 
-def unpack_encode_wire(buf, n):
-    """Host side (numpy). Returns (table dict, count, coo_pos, coo_val);
-    the COO list is exact iff count <= COO_K."""
+def unpack_encode_wire(buf, n, tail=None):
+    """Host side (numpy). Returns (table dict, count, coo_pos, coo_val).
+    `buf` is the head wire (table + count + the first COO_SMALL entries);
+    `tail` is a callable returning the tail buffer bytes, invoked ONLY
+    when count exceeds the head capacity (so the extra transfer is paid
+    exactly on the frames that need it). The COO list is exact iff
+    count <= COO_K."""
     buf = np.asarray(buf)
     o = 0
 
@@ -139,8 +150,14 @@ def unpack_encode_wire(buf, n):
         sp_amount=take(n, np.uint8).astype(bool),
         sp_index=take(n, np.uint8), q_index=take(n, np.uint8))
     count = int(take(1, np.int32)[0])
-    pos = take(COO_K, np.int32)
-    val = take(COO_K, np.int16)
+    small = min(COO_SMALL, COO_K)
+    pos = take(small, np.int32)
+    val = take(small, np.int16)
+    if count > small and count <= COO_K and tail is not None:
+        rest = np.asarray(tail())
+        nrest = COO_K - small
+        pos = np.concatenate([pos, rest[:4 * nrest].view(np.int32)])
+        val = np.concatenate([val, rest[4 * nrest:].view(np.int16)])
     return table, count, pos, val
 
 
