@@ -35,12 +35,19 @@ class MeshSpec:
 
 
 def initialize(coordinator: str | None = None, num_processes: int = 1,
-               process_id: int = 0, tiles_per_gop: int | None = None
-               ) -> MeshSpec:
+               process_id: int = 0, tiles_per_gop: int | None = None,
+               allow_cross_host_tiles: bool = False) -> MeshSpec:
     """Initializes jax.distributed (no-op for a single process) and
     returns the ("gop", "tile") mesh shape: GOP rows = processes (each
     host encodes independent GOPs; zero DCN traffic during a GOP), tile
-    columns = local chips (halo exchange stays on ICI)."""
+    columns = local chips (halo exchange stays on ICI).
+
+    allow_cross_host_tiles=True lets one GOP's tile axis span hosts: the
+    per-frame halo exchange (ppermute along "tile") then crosses the
+    host boundary on DCN and the per-tile slice payloads are gathered
+    across processes (tiled.encode_batch). The exchange is ~400 KB/frame
+    at 4K (docs/SHARDING.md) so this is viable, just not the default —
+    it spends DCN on something ICI does for free."""
     if num_processes > 1:
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
@@ -48,9 +55,10 @@ def initialize(coordinator: str | None = None, num_processes: int = 1,
     local = jax.local_device_count()
     if tiles_per_gop is None:
         tiles_per_gop = local
-    if tiles_per_gop > local:
+    if tiles_per_gop > local and not allow_cross_host_tiles:
         raise ValueError("a GOP's tiles must stay on one host's chips "
-                         "(halo exchange rides ICI, not DCN)")
+                         "(halo exchange rides ICI, not DCN); pass "
+                         "allow_cross_host_tiles=True to override")
     n_gops = (jax.device_count() // tiles_per_gop)
     return MeshSpec(n_gops=n_gops, tiles_per_gop=tiles_per_gop,
                     process_id=process_id)

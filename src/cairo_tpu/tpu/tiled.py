@@ -66,27 +66,59 @@ def _align_to(v: int, mult: int) -> int:
     return (v + mult - 1) // mult * mult
 
 
-def _fetch_local_rows(tree, n_tiles):
+def _fetch_local_shards(tree):
     """device_get for (gop, tile)-sharded outputs that works across
-    processes: fetches only the GOP rows whose shards live on this
-    process (multi-host meshes place one GOP row per host, cluster.py).
-
-    Returns (dict of np arrays indexed [local_row, tile, ...], list of
-    global gop indices in row order). Single-process: all rows."""
+    processes: fetches exactly the (gop, tile) shards living on this
+    process. Returns (keys, dict of {field: {key: np array}}). With the
+    default placement (one GOP row per host) a process holds whole rows;
+    with cross-host tiles (cluster.initialize allow_cross_host_tiles) a
+    row's shards are split between processes."""
     first = jax.tree_util.tree_leaves(tree)[0]
-    gops = sorted({s.index[0].start or 0 for s in first.addressable_shards})
+    keys = sorted({(s.index[0].start or 0, s.index[1].start or 0)
+                   for s in first.addressable_shards})
 
     def fetch(arr):
-        shards = {}
-        for s in arr.addressable_shards:
-            g = s.index[0].start or 0
-            t = s.index[1].start or 0
-            shards[(g, t)] = np.asarray(s.data)[0, 0]
-        return np.stack([
-            np.stack([shards[(g, t)] for t in range(n_tiles)])
-            for g in gops])
+        return {(s.index[0].start or 0, s.index[1].start or 0):
+                np.asarray(s.data)[0, 0]
+                for s in arr.addressable_shards}
 
-    return jax.tree_util.tree_map(fetch, tree), gops
+    return keys, jax.tree_util.tree_map(fetch, tree)
+
+
+def _allgather_payloads(payloads, n_gops, n_tiles):
+    """DCN bitstream gather: every process contributes its local tiles'
+    slice payloads; all processes return the full {(g, t): bytes} map.
+    Two collective rounds (lengths, then max-padded byte buffers) over
+    jax.experimental.multihost_utils.process_allgather."""
+    from jax.experimental import multihost_utils
+
+    lens = np.full((n_gops, n_tiles), -1, np.int32)
+    for (g, t), b in payloads.items():
+        lens[g, t] = len(b)
+    all_lens = np.asarray(multihost_utils.process_allgather(lens))
+    if all_lens.ndim == 2:  # single process
+        return payloads
+    local_total = sum(len(b) for b in payloads.values())
+    totals = np.maximum(all_lens, 0).sum(axis=(1, 2))
+    max_total = int(totals.max())
+    buf = np.zeros(max_total, np.uint8)
+    o = 0
+    for key in sorted(payloads):
+        b = payloads[key]
+        buf[o:o + len(b)] = np.frombuffer(b, np.uint8)
+        o += len(b)
+    assert o == local_total
+    all_bufs = np.asarray(multihost_utils.process_allgather(buf))
+    full = {}
+    for p in range(all_lens.shape[0]):
+        o = 0
+        for g in range(n_gops):
+            for t in range(n_tiles):
+                ln = int(all_lens[p, g, t])
+                if ln >= 0:
+                    full[(g, t)] = all_bufs[p, o:o + ln].tobytes()
+                    o += ln
+    return full
 
 
 class TiledEncoder:
@@ -100,8 +132,7 @@ class TiledEncoder:
         self._devices = devices
         self._state = None
         self._steps = {}
-        self._stale_q = None
-        self._stale_var = None
+        self._stale = {}  # per-(gop, tile) stale q/variance carries
         self.frame_type = FRAME_INTRA
         self.frame_index = 0
         self.quality = tables.DEFAULT_QUALITY
@@ -146,10 +177,13 @@ class TiledEncoder:
         tiled-stream byte chunk per GOP.
 
         Multi-host (cluster.py): every process calls this with the full
-        frame list (the device compute is SPMD over the global mesh), but
-        each process stitches only the GOP rows whose shards it owns —
-        the entries of other hosts' GOPs are None. Single-process: all
-        entries are bytes."""
+        frame list (the device compute is SPMD over the global mesh) and
+        each process entropy-codes the tiles whose shards it owns. With
+        the default one-GOP-row-per-host placement, each process returns
+        bytes for its own GOPs and None for the others. When a GOP's tile
+        axis spans hosts (cluster.initialize allow_cross_host_tiles), the
+        per-tile payloads are allgathered across processes (the DCN
+        bitstream-gather leg) and every process returns every chunk."""
         if len(rgbs) != self.n_gops:
             raise ValueError("need one frame per GOP")
         height, width = rgbs[0].shape[:2]
@@ -167,40 +201,53 @@ class TiledEncoder:
         with self._mesh:
             self._state, out = step(batch, self._state, self.frame_index,
                                     self.quality)
-        out, local_gops = _fetch_local_rows(out, self.n_tiles)
+        keys, shards = _fetch_local_shards(out)
 
-        # stale q_index/variance persistence per (gop, tile) — peek parity
-        # with the reference's clear_block_desc quirk (common.cpp:67-73)
-        copy = (out["block_type"].astype(np.int32) & COPY_BIT) != 0
-        if self._stale_q is not None:
-            out["q_index"] = np.where(copy, self._stale_q, out["q_index"])
-            out["variance"] = np.where(copy, self._stale_var, out["variance"])
-        self._stale_q = out["q_index"]
-        self._stale_var = out["variance"]
+        payloads = {}
+        for key in keys:
+            fields = {f: shards[f][key] for f in shards}
+            # stale q_index/variance persistence per (gop, tile) — peek
+            # parity with the reference's clear_block_desc quirk
+            # (common.cpp:67-73)
+            copy = (fields["block_type"].astype(np.int32) & COPY_BIT) != 0
+            if key in self._stale:
+                sq, sv = self._stale[key]
+                fields["q_index"] = np.where(copy, sq, fields["q_index"])
+                fields["variance"] = np.where(copy, sv,
+                                              fields["variance"])
+            self._stale[key] = (fields["q_index"], fields["variance"])
+            bt = BlockTable(
+                block_type=fields["block_type"],
+                prediction_target=fields["prediction_target"],
+                motion_x=fields["motion_x"], motion_y=fields["motion_y"],
+                sp_pred=fields["sp_pred"], sp_amount=fields["sp_amount"],
+                sp_index=fields["sp_index"], q_index=fields["q_index"],
+                variance=fields["variance"])
+            payload, _ = native.encode_slice(
+                bt, fields["coef_y"], fields["coef_u"], fields["coef_v"])
+            payloads[key] = payload
+
+        # cross-host tiles: rows are split between processes exactly when
+        # a GOP row needs more devices than this host has (a global,
+        # static condition, so every process enters the collective)
+        if jax.process_count() > 1 and \
+                self.n_tiles > jax.local_device_count():
+            payloads = _allgather_payloads(payloads, self.n_gops,
+                                           self.n_tiles)
 
         frame_desc = struct.pack(_FRAME_FMT, self.frame_type,
                                  self.frame_index, self.quality)
         tile_mbs = [self.tile_w // MB] * self.n_tiles
         chunks: list[bytes | None] = [None] * self.n_gops
-        for row, g in enumerate(local_gops):
+        for g in range(self.n_gops):
+            if not all((g, t) in payloads for t in range(self.n_tiles)):
+                continue
             parts = []
             if first:
                 parts.append(pack_tiled_header(width, height, tile_mbs))
             parts.append(frame_desc)
             for t in range(self.n_tiles):
-                bt = BlockTable(
-                    block_type=out["block_type"][row, t],
-                    prediction_target=out["prediction_target"][row, t],
-                    motion_x=out["motion_x"][row, t],
-                    motion_y=out["motion_y"][row, t],
-                    sp_pred=out["sp_pred"][row, t],
-                    sp_amount=out["sp_amount"][row, t],
-                    sp_index=out["sp_index"][row, t],
-                    q_index=out["q_index"][row, t],
-                    variance=out["variance"][row, t])
-                payload, _ = native.encode_slice(
-                    bt, out["coef_y"][row, t], out["coef_u"][row, t],
-                    out["coef_v"][row, t])
+                payload = payloads[(g, t)]
                 parts.append(struct.pack("<I", len(payload)))
                 parts.append(payload)
             chunks[g] = b"".join(parts)

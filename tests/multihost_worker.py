@@ -31,6 +31,7 @@ def frames_for_gop(g, n_frames, width, height):
 def main():
     coordinator, num_procs, rank, outdir = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "gops"
 
     import jax
     # the ambient axon PJRT plugin ignores the env var; force the platform
@@ -40,6 +41,32 @@ def main():
     # cluster imports only jax; tiled's import chain touches jnp constants
     # which would initialize the XLA backend before jax.distributed
     from cairo_tpu.tpu import cluster
+
+    if mode == "tiles":
+        # one GOP whose 8-tile axis SPANS both processes: the per-frame
+        # halo ppermute crosses the host boundary, and the per-tile slice
+        # payloads ride the DCN allgather
+        spec = cluster.initialize(coordinator=coordinator,
+                                  num_processes=num_procs, process_id=rank,
+                                  tiles_per_gop=8,
+                                  allow_cross_host_tiles=True)
+        from cairo_tpu.tpu import tiled
+
+        assert jax.device_count() == 8 and jax.local_device_count() == 4
+        assert spec.n_gops == 1 and spec.tiles_per_gop == 8, spec
+        enc = tiled.TiledEncoder(n_tiles=8, n_gops=1)
+        enc.set_quality(14)
+        frames = frames_for_gop(0, 3, 256, 64)
+        own = []
+        for t in range(3):
+            chunks = enc.encode_batch([frames[t]])
+            assert chunks[0] is not None  # gather: every process has it
+            own.append(chunks[0])
+        with open(os.path.join(outdir, f"tiles_rank{rank}.bin"), "wb") as f:
+            for c in own:
+                f.write(len(c).to_bytes(4, "little") + c)
+        print("worker", rank, "ok", sum(len(c) for c in own))
+        return
 
     spec = cluster.initialize(coordinator=coordinator,
                               num_processes=num_procs, process_id=rank)

@@ -91,3 +91,48 @@ def test_two_process_gop_mesh_matches_single_process(tmp_path):
     for t, chunk in enumerate(_read_chunks(tmp_path / "gop0.bin")):
         rgb = dec.decode(chunk)
         assert rgb.shape == (64, 128, 3)
+
+
+@pytest.mark.slow
+def test_cross_host_tile_axis_matches_single_process(tmp_path):
+    """The tile axis spanning BOTH processes (8 tiles over 2x4 devices):
+    the per-frame halo ppermute executes across the host boundary and the
+    per-tile payloads ride the DCN allgather — both processes must
+    assemble the identical stream, byte-equal to a single-process 8-tile
+    encode of the same frames."""
+    port = _free_port()
+    coord = f"localhost:{port}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(_DIR, "multihost_worker.py"),
+             coord, "2", str(rank), str(tmp_path), "tiles"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for rank in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {rank} failed:\n{out[-4000:]}"
+
+    from cairo_tpu.tpu import tiled
+
+    enc = tiled.TiledEncoder(n_tiles=8, n_gops=1)
+    enc.set_quality(14)
+    frames = frames_for_gop(0, 3, 256, 64)
+    want = [enc.encode_batch([f])[0] for f in frames]
+
+    for rank in range(2):
+        got = _read_chunks(tmp_path / f"tiles_rank{rank}.bin")
+        assert len(got) == 3
+        for t in range(3):
+            assert got[t] == want[t], \
+                f"rank {rank} frame {t}: cross-host tile stream differs"
