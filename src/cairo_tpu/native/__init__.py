@@ -23,7 +23,7 @@ def build(force: bool = False):
     if not force and os.path.exists(_LIB) and all(
             os.path.getmtime(_LIB) >= os.path.getmtime(s) for s in _SRC):
         return
-    cmd = ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", "-o", _LIB] + _SRC
+    cmd = ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", "-pthread", "-o", _LIB] + _SRC
     subprocess.run(cmd, check=True)
 
 

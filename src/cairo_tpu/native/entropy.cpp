@@ -14,6 +14,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <initializer_list>
+#include <thread>
 
 namespace {
 
@@ -572,14 +573,39 @@ long long evxn_extract_coo(
 // planes are masked to 0 outside the frame; the device re-adds the +16
 // luma shift only on in-frame cells (static mask), reproducing the
 // single-chip padding semantics bit-exactly.
+static void rgb_to_yuv8_rows(const uint8_t *rgb, unsigned width,
+                             unsigned height, unsigned aw, unsigned ah,
+                             uint8_t *wire, unsigned r0, unsigned r1);
+
 long long evxn_rgb_to_yuv8(const uint8_t *rgb, unsigned width,
                            unsigned height, unsigned aw, unsigned ah,
                            uint8_t *wire) {
     const unsigned cw = aw >> 1;
     const long long ysz = (long long)aw * ah;
     const long long csz = (long long)cw * (ah >> 1);
+    // the conversion sits on the encoder's critical path (~20 ms at
+    // 1080p single-threaded); split the row range across two threads
+    // for frames worth the spawn cost
+    if (ah >= 256) {
+        unsigned mid = ((ah / 2) >> 1) << 1;  // even split
+        std::thread top(rgb_to_yuv8_rows, rgb, width, height, aw, ah,
+                        wire, 0u, mid);
+        rgb_to_yuv8_rows(rgb, width, height, aw, ah, wire, mid, ah);
+        top.join();
+    } else {
+        rgb_to_yuv8_rows(rgb, width, height, aw, ah, wire, 0, ah);
+    }
+    return ysz + 2 * csz;
+}
 
-    for (unsigned r = 0; r < ah; r += 2) {
+static void rgb_to_yuv8_rows(const uint8_t *rgb, unsigned width,
+                             unsigned height, unsigned aw, unsigned ah,
+                             uint8_t *wire, unsigned r0, unsigned r1) {
+    const unsigned cw = aw >> 1;
+    const long long ysz = (long long)aw * ah;
+    const long long csz = (long long)cw * (ah >> 1);
+
+    for (unsigned r = r0; r < r1; r += 2) {
         for (unsigned c = 0; c < aw; c += 2) {
             int usum = 0, vsum = 0;
             for (unsigned dy = 0; dy < 2; ++dy) {
@@ -605,7 +631,6 @@ long long evxn_rgb_to_yuv8(const uint8_t *rgb, unsigned width,
             wire[ysz + csz + cidx] = (uint8_t)(cin ? ((vsum + 2) >> 2) : 0);
         }
     }
-    return ysz + 2 * csz;
 }
 
 // Converts the decoder's 8-bit YUV output wire (tpu/wire.py layout) to RGB
@@ -656,23 +681,36 @@ long long evxn_yuv_wire_to_rgb(
         o[2] = (uint8_t)(bb < 0 ? 0 : (bb > 255 ? 255 : bb));
     };
 
-    for (unsigned r = 0; r < height; ++r) {
-        const uint8_t *ylo = lo + (long long)r * aw;
-        const long long urow = ysz + (long long)(r >> 1) * cw;
-        const long long vrow = urow + csz;
-        uint8_t *orow = rgb + (long long)r * width * 3;
-        for (unsigned c = 0; c < width; ++c) {
-            int yy = (int)ylo[c];  // wire Y is already value-16
-            long long ui = urow + (c >> 1), vi = vrow + (c >> 1);
-            int uu = wire_val(ui) - 128;
-            int vv = wire_val(vi) - 128;
-            int rr = (256 * yy + 358 * vv + 128) >> 8;
-            int gg = (256 * yy - 88 * uu - 182 * vv + 128) >> 8;
-            int bb = (256 * yy + 452 * uu + 128) >> 8;
-            orow[3 * c + 0] = (uint8_t)(rr < 0 ? 0 : (rr > 255 ? 255 : rr));
-            orow[3 * c + 1] = (uint8_t)(gg < 0 ? 0 : (gg > 255 ? 255 : gg));
-            orow[3 * c + 2] = (uint8_t)(bb < 0 ? 0 : (bb > 255 ? 255 : bb));
+    auto rows = [&](unsigned rr0, unsigned rr1) {
+        for (unsigned r = rr0; r < rr1; ++r) {
+            const uint8_t *ylo = lo + (long long)r * aw;
+            const long long urow = ysz + (long long)(r >> 1) * cw;
+            const long long vrow = urow + csz;
+            uint8_t *orow = rgb + (long long)r * width * 3;
+            for (unsigned c = 0; c < width; ++c) {
+                int yy = (int)ylo[c];  // wire Y is already value-16
+                long long ui = urow + (c >> 1), vi = vrow + (c >> 1);
+                int uu = wire_val(ui) - 128;
+                int vv = wire_val(vi) - 128;
+                int rr = (256 * yy + 358 * vv + 128) >> 8;
+                int gg = (256 * yy - 88 * uu - 182 * vv + 128) >> 8;
+                int bb = (256 * yy + 452 * uu + 128) >> 8;
+                orow[3 * c + 0] =
+                    (uint8_t)(rr < 0 ? 0 : (rr > 255 ? 255 : rr));
+                orow[3 * c + 1] =
+                    (uint8_t)(gg < 0 ? 0 : (gg > 255 ? 255 : gg));
+                orow[3 * c + 2] =
+                    (uint8_t)(bb < 0 ? 0 : (bb > 255 ? 255 : bb));
+            }
         }
+    };
+    if (height >= 256) {  // split the bulk conversion across two threads
+        unsigned mid = height / 2;
+        std::thread top(rows, 0u, mid);
+        rows(mid, height);
+        top.join();
+    } else {
+        rows(0, height);
     }
 
     // fix up the pixels an exception touches (1 px for Y, a 2x2 quad for
