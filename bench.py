@@ -126,6 +126,43 @@ def measure_4k(n_frames=6, warmup=2):
         return None, f"{type(e).__name__}: {e}"[:200]
 
 
+def reference_stream_decode_fps(n_frames=6, warmup=2):
+    """Secondary metric: decoding the REFERENCE encoder's own 1080p
+    streams (intra-motion blocks) on the device wavefront path
+    (tpu/wavefront.py conformance_decode_step), pixel-checked against the
+    oracle decoder. Returns None if the oracle shim is unavailable."""
+    import time as _time
+
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools", "refshim"))
+        import oracle
+        from cairo_tpu.tpu.api import TpuDecoder
+        frames = synth_frames(1920, 1080, warmup + n_frames, seed=5)
+        oe = oracle.OracleEncoder()
+        oe.set_quality(16)
+        chunks = [oe.encode(f)[0] for f in frames]
+        od = oracle.OracleDecoder()
+        ref_last = od.decode(chunks[-1], 1920, 1080)
+        dec = TpuDecoder()
+        times = []
+        t0 = _time.perf_counter()
+        outs = []
+        for rgb in dec.decode_many(chunks):
+            outs.append(rgb)
+            t1 = _time.perf_counter()
+            times.append(t1 - t0)
+            t0 = t1
+        if dec._native is not None:
+            print("ref_stream_decode fell back to native", file=sys.stderr)
+        if not np.array_equal(outs[-1], ref_last):
+            raise RuntimeError("device decode mismatches the oracle")
+        return round(1.0 / float(np.median(times[warmup:])), 3), None
+    except Exception as e:  # noqa: BLE001
+        print(f"reference_stream_decode_fps failed: {e}", file=sys.stderr)
+        return None, f"{type(e).__name__}: {e}"[:200]
+
+
 def main():
     from cairo_tpu.tpu.api import TpuDecoder, TpuEncoder
 
@@ -196,6 +233,13 @@ def main():
         result["4k_fps"] = fps_4k
     else:
         result["4k_error"] = err_4k
+    ref_fps, ref_err = reference_stream_decode_fps()
+    if ref_fps is not None:
+        # decoding the reference encoder's own streams on the device
+        # wavefront path, pixel-exact vs the oracle decoder
+        result["ref_stream_decode_fps"] = ref_fps
+    else:
+        result["ref_stream_decode_error"] = ref_err
     scaling, scaling_err = scaling_number()
     if scaling:
         # t1/tN on 8 virtual devices sharing 2 host cores: a tiling
