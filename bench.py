@@ -143,7 +143,8 @@ def reference_stream_decode_fps(n_frames=6, warmup=2):
         oe.set_quality(16)
         chunks = [oe.encode(f)[0] for f in frames]
         od = oracle.OracleDecoder()
-        ref_last = od.decode(chunks[-1], 1920, 1080)
+        for c in chunks:  # the oracle enforces in-order frame indices
+            ref_last = od.decode(c, 1920, 1080)
         dec = TpuDecoder()
         times = []
         t0 = _time.perf_counter()
