@@ -83,13 +83,6 @@ def _u8(x16):
     return jax.lax.bitcast_convert_type(x16, jnp.uint8).reshape(-1)
 
 
-def _pack_bits(flat_bits):
-    """(8k,) 0/1 int32 -> (k,) uint8, LSB-first within each byte."""
-    b = flat_bits.reshape(-1, 8).astype(jnp.int32)
-    w = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
-    return (b @ w).astype(jnp.uint8)
-
-
 # --------------------------------------------------------------------------
 # encoder output wire: block table + residual COO
 
