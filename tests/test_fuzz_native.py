@@ -31,16 +31,28 @@ def _valid_slice():
     return chunk[HEADER_SIZE + FRAME_DESC_SIZE:]
 
 
+GUARD_ROWS = 8
+
+
 def _try_decode(data: bytes):
     bt = BlockTable.zeros(N)
-    y, u, v = _planes()
-    # guard-banded planes: verify the parser never writes outside them
-    yg = np.zeros((H + 32, W + 32), np.int16)
+    # guard rows AFTER each plane (the parser gets the contiguous leading
+    # view): an out-of-bounds write past a plane's end lands in the
+    # sentinel region and fails the check below
+    bufs = [np.full((H + GUARD_ROWS, W), 0x5A5A, np.uint16).view(np.int16),
+            np.full((H // 2 + GUARD_ROWS, W // 2), 0x5A5A,
+                    np.uint16).view(np.int16),
+            np.full((H // 2 + GUARD_ROWS, W // 2), 0x5A5A,
+                    np.uint16).view(np.int16)]
+    y, u, v = bufs[0][:H], bufs[1][:H // 2], bufs[2][:H // 2]
+    y[:], u[:], v[:] = 0, 0, 0
     try:
         native.decode_slice(data, 0, bt, y, u, v)
     except ValueError:
         pass
-    assert np.all(yg == 0)
+    for b, h in zip(bufs, (H, H // 2, H // 2)):
+        assert np.all(b[h:].view(np.uint16) == 0x5A5A), \
+            "parser wrote past the end of a plane"
 
 
 def test_random_bytes_never_hang():
