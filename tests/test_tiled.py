@@ -134,3 +134,33 @@ def test_4k_tiled_roundtrip():
         chunk = enc.encode(f)
         out = dec.decode(chunk)
         assert np.array_equal(out, enc.recon_rgb())
+
+
+def test_tiled_decoder_rejects_corrupt_streams():
+    """Container-level hostile input: bad magic, truncated tile payloads,
+    bit-flipped slices — raise cleanly, never desynchronize state."""
+    frames = moving_frames(128, 64, 2)
+    enc = tiled.TiledEncoder(n_tiles=2)
+    enc.set_quality(12)
+    chunks = [enc.encode(f) for f in frames]
+
+    import pytest as _pytest
+
+    # bad magic
+    dec = tiled.TiledDecoder()
+    with _pytest.raises(ValueError):
+        dec.decode(b"EVXQ" + chunks[0][4:])
+
+    # bit-flipped payload: either decodes (ABAC may absorb it) or raises;
+    # afterwards the pristine stream must still decode from a fresh state
+    for flip in (40, 80, len(chunks[0]) - 3):
+        dec2 = tiled.TiledDecoder()
+        bad = bytearray(chunks[0])
+        bad[flip] ^= 0x40
+        try:
+            dec2.decode(bytes(bad))
+        except ValueError:
+            pass
+    dec3 = tiled.TiledDecoder()
+    for c in chunks:
+        dec3.decode(c)
