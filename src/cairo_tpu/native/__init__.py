@@ -245,7 +245,7 @@ class NativeDecoder:
 
 def yuv_wire_to_rgb(wire: np.ndarray, aw: int, ah: int, width: int,
                     height: int, exc_k: int) -> tuple[np.ndarray, int]:
-    """Converts the decoder's 9-bit YUV wire to (H, W, 3) uint8 RGB.
+    """Converts the decoder's 8-bit YUV wire to (H, W, 3) uint8 RGB.
     Returns (rgb, exception_count); count > exc_k means the wire was not
     exact and the caller must refetch exact planes."""
     wire = np.ascontiguousarray(wire, dtype=np.uint8)

@@ -425,7 +425,7 @@ def decode_step(table, coef, state, frame_index, *, width, height,
 def decode_step_coo(in_wire, state, *, aligned_w, aligned_h,
                     frame_w=None, frame_h=None, deblock=True, coo_k=None):
     """Transfer-optimized decode: one packed upload (8-byte header with the
-    frame index + residual COO + block table), 9-bit YUV wire out (see
+    frame index + residual COO + block table), 8-bit YUV wire out (see
     tpu.wire). Coefficient planes persist in device state; copy blocks keep
     their stale residuals, non-copy blocks are rebuilt from the COO list."""
     n = (aligned_w // MB) * (aligned_h // MB)

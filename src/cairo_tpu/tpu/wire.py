@@ -244,7 +244,7 @@ def unpack_table_wire(buf, n):
 
 
 # --------------------------------------------------------------------------
-# decoder output wire: 9-bit YUV + out-of-range count
+# decoder output wire: 8-bit YUV + out-of-range count
 
 def pack_yuv_wire(y, u, v, frame_w, frame_h):
     """Device side. y/u/v: int32 reconstruction planes (aligned dims).
