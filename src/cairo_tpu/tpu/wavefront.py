@@ -390,12 +390,6 @@ def conformance_encode_step(src_wire, state, *, aligned_w, aligned_h,
     # colocated blocks of the INTER_COPY target are part of inter_pred
     # (mx=my=0 there), so no special path is needed.
 
-    bi_t, bj_t, valid_t = wave_schedule(wb, hb)
-    n_waves, p = bi_t.shape
-    bi_t = jnp.asarray(bi_t)
-    bj_t = jnp.asarray(bj_t)
-    valid_t = jnp.asarray(valid_t)
-
     table0 = dict(
         block_type=jnp.zeros(n, jnp.int32),
         prediction_target=jnp.zeros(n, jnp.int32),
@@ -408,6 +402,57 @@ def conformance_encode_step(src_wire, state, *, aligned_w, aligned_h,
     coef0 = (state["coef_y"].astype(jnp.int32),
              state["coef_u"].astype(jnp.int32),
              state["coef_v"].astype(jnp.int32))
+
+    from . import backend as backend_mod
+    from . import pallas_wave
+    if backend_mod.use_pallas() and pallas_wave.supported(aligned_w,
+                                                          aligned_h):
+        # the whole sequential wave pass (search + encode + reconstruct)
+        # runs as ONE Mosaic kernel; this XLA body only packs/unpacks.
+        rec_y, rec_u, rec_v, kdesc, (cy_b, cu_b, cv_b) = \
+            pallas_wave.wave_pass(
+                src_blocks, self_sad_all, inter_best, inter_pred,
+                cur_y, cur_u, cur_v, quality,
+                aligned_w=aligned_w, aligned_h=aligned_h,
+                is_inter=is_inter)
+        keep_q = kdesc["is_copy"] != 0
+        table = dict(
+            block_type=(kdesc["is_intra"] * INTRA_BIT
+                        | kdesc["is_motion"] * MOTION_BIT
+                        | kdesc["is_copy"] * COPY_BIT),
+            prediction_target=kdesc["target"],
+            motion_x=kdesc["motion_x"], motion_y=kdesc["motion_y"],
+            sp_pred=kdesc["sp_pred"] != 0,
+            sp_amount=kdesc["sp_amount"] != 0,
+            sp_index=kdesc["sp_index"],
+            q_index=jnp.where(keep_q, table0["q_index"],
+                              kdesc["q_index"]),
+            variance=jnp.where(keep_q, table0["variance"],
+                               kdesc["variance"]),
+        )
+        w3 = (~keep_q)[:, None, None]
+        coef_y = ops.blocks_to_plane(
+            jnp.where(w3, cy_b.astype(jnp.int32),
+                      ops.plane_to_blocks(coef0[0], MB)),
+            aligned_h, aligned_w)
+        coef_u = ops.blocks_to_plane(
+            jnp.where(w3, cu_b.astype(jnp.int32),
+                      ops.plane_to_blocks(coef0[1], MB // 2)),
+            aligned_h // 2, aligned_w // 2)
+        coef_v = ops.blocks_to_plane(
+            jnp.where(w3, cv_b.astype(jnp.int32),
+                      ops.plane_to_blocks(coef0[2], MB // 2)),
+            aligned_h // 2, aligned_w // 2)
+        return _conformance_tail(rec_y, rec_u, rec_v, table,
+                                 coef_y, coef_u, coef_v, state, slot,
+                                 aligned_w, aligned_h, wb, hb)
+
+    bi_t, bj_t, valid_t = wave_schedule(wb, hb)
+    n_waves, p = bi_t.shape
+    bi_t = jnp.asarray(bi_t)
+    bj_t = jnp.asarray(bj_t)
+    valid_t = jnp.asarray(valid_t)
+
 
     def wave_body(w, carry):
         pad_y, pad_u, pad_v, coef_y, coef_u, coef_v, table = carry
@@ -548,7 +593,15 @@ def conformance_encode_step(src_wire, state, *, aligned_w, aligned_h,
     rec_y = pad_y[YPAD:YPAD + aligned_h, YPAD:YPAD + aligned_w]
     rec_u = pad_u[CPAD:CPAD + aligned_h // 2, CPAD:CPAD + aligned_w // 2]
     rec_v = pad_v[CPAD:CPAD + aligned_h // 2, CPAD:CPAD + aligned_w // 2]
+    return _conformance_tail(rec_y, rec_u, rec_v, table,
+                             coef_y, coef_u, coef_v, state, slot,
+                             aligned_w, aligned_h, wb, hb)
 
+
+def _conformance_tail(rec_y, rec_u, rec_v, table, coef_y, coef_u, coef_v,
+                      state, slot, aligned_w, aligned_h, wb, hb):
+    """Deblock + ring update + outputs, shared by the XLA fori-loop and the
+    Mosaic wave-kernel paths."""
     # in-loop deblock (deblock.cpp:201-284) on the finished reconstruction
     is_copy = (table["block_type"] & COPY_BIT) != 0
     copy_map = is_copy.reshape(hb, wb)
