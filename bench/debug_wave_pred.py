@@ -56,7 +56,7 @@ def main():
         cpe.encode_block = orig_encode
 
     # --- pallas stage-8 pred dump
-    os.environ["CAIRO_WAVE_STAGE"] = "8"
+    os.environ["CAIRO_WAVE_DUMP"] = "pred"
     raw = wavefront.conformance_encode_step.__wrapped__
     state = wavefront.init_state(aw, ah)
     f = jax.jit(functools.partial(

@@ -1,5 +1,5 @@
 """Mosaic wave kernel: the conformance encoder's sequential wave pass as ONE
-Pallas kernel with grid=(n_waves,).
+Pallas kernel with grid=(n_waves + 1,).
 
 Replaces the XLA fori_loop wave body of wavefront.conformance_encode_step
 (~600 ms/frame device time at 1080p: tiny batched one-hot extraction
@@ -7,36 +7,45 @@ matmuls, per-member dynamic-update-slices, while-loop bookkeeping) with a
 single kernel invocation whose grid steps ARE the waves:
 
   * the current frame's reconstruction planes live in VMEM scratch for the
-    whole frame (DMA'd in at wave 0, out at the last wave) — wave w+1 reads
-    wave w's writes with no HBM round trip;
+    whole frame (DMA'd in at wave 0, out at the extra last step) — wave
+    w+1 reads wave w's writes with no HBM round trip;
+  * recon writes are DEFERRED: wave w stashes its reconstructed blocks in
+    scratch and grid step w+1 flushes them into the planes (via staged
+    DMA copies with semaphore waits) BEFORE any of its reads — cross-step
+    vector-store -> dynamic-load pairs proved unreliable on chip, while
+    same-step DMA-fenced ordering holds (bench/probe_wave_prims.py);
   * per-ring candidate strips are member-stacked (P*16, 128) arrays built
-    by aligned dynamic-sublane loads + dynamic pltpu.roll re-basing (the
-    probe-verified primitives, bench/probe_wave_prims.py);
-  * the 8 ring candidates (the (0,0) re-evaluation of the frozen base is a
-    provable no-op and is skipped — see _RING_OFFS) are packed into the 8
-    16-lane groups of one (P*16, 128) diff array, so SAD rides ONE exact
-    hi/lo-bf16 ones-segment matmul on the MXU and MAD ONE pair of
-    roll-tree reductions per ring;
+    by aligned dynamic-sublane loads + dynamic pltpu.roll re-basing;
+  * the 8 ring candidates (the (0,0) base re-evaluation is a provable
+    no-op: every acceptance test compares the base against its own
+    metrics, so it either fails or rewrites identical values) pack into
+    the 8 16-lane groups of one (P*16, 128) diff array: SAD rides ONE
+    exact hi/lo-bf16 ones-segment matmul on the MXU, MAD one pair of
+    roll-tree reductions per ring; chroma MAD handles the (bx+oi)>>1
+    parity cases with per-variant groups + dynamic column selection;
   * the acceptance recurrence (motion.cpp:111-149 incl. the C precedence
-    quirk) folds on member-sublane-packed (P, 1) state vectors;
+    quirk) folds on lane-replicated (P, 128) state vectors (Mosaic cannot
+    select i1 vectors, so boolean selects are int32-cast);
+  * the final prediction is assembled from the sub-pel candidate packs by
+    masked group-folds — pure vector ops, no per-member re-loads;
   * the encode path (sub_transform -> adaptive QP -> quantize ->
     dequantize -> inverse transform, encode.cpp:69-163 / decode.cpp:15-144)
-    runs in a member-stacked (P*16, 32) workspace; the 8x8 integer DCTs are
-    roll-accumulate contractions (15 shifted diagonal terms) which keep the
-    reference's PER-TERM truncating divisions (transform.cpp:330-349)
-    exact in int32 with no matmul splitting;
-  * reconstruction writes are read-modify-write blends into the VMEM
-    planes (a 16-aligned block never crosses a 128-lane tile).
+    runs in member-stacked (P*16, 16) luma and (P*8, 16) chroma
+    workspaces; the 8x8 integer DCTs are roll-accumulate contractions
+    (15 shifted diagonal terms) which keep the reference's PER-TERM
+    truncating divisions (transform.cpp:330-349) exact in int32.
 
 Bit-exactness contract: identical outputs (block table fields, quantized
 coefficients, reconstruction planes) to the XLA wave loop, hence to the
-compiled reference encoder. tests/test_pallas_wave.py pins this
-differentially; the tpu tier re-pins on hardware.
+compiled reference encoder. bench/wave_twin.py is the numpy twin of the
+search dataflow (validated against the cpuref raster encoder);
+tests/test_pallas_wave_tpu.py pins the kernel differentially on hardware.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -59,11 +68,8 @@ Y_L0 = YP + XTRA       # pad-plane lane of luma x=0   (176)
 C_L0 = CP + XTRA       # pad-plane lane of chroma x=0 (152)
 
 # ring candidate offsets in the reference's evaluation order
-# (motion.cpp:381-385 initial triangle, then halving refinement), WITHOUT
-# the base re-evaluation: ring 0's (0,0) is never causal
-# (cx==px, cy==py fails motion.cpp:238-241); later rings' (0,0) offset IS
-# the frozen entry best, whose re-evaluation either fails every strict
-# acceptance test or re-writes identical values — a no-op either way.
+# (motion.cpp:381-385 initial triangle, then halving refinement), without
+# the (0,0) base re-evaluation (see module docstring).
 _RING0 = [(i, j) for j in (-32, -16, 0) for i in (-16, 0, 16)
           if (i, j) != (0, 0)]
 _RINGS = {s: [(i, j) for j in (-s, 0, s) for i in (-s, 0, s)
@@ -86,12 +92,12 @@ def geometry(aligned_w: int, aligned_h: int):
         lo = max(0, -(-(w - wb + 1) // SKEW))
         hi = min(hb - 1, w // SKEW)
         p = max(p, hi - lo + 1)
-    return wb, hb, n_waves, -(-p // 8) * 8   # sublane-pad the member axis
+    return wb, hb, n_waves, max(16, -(-p // 8) * 8)  # sublane-pad members
 
 
 def plane_pads(aligned_w: int, aligned_h: int):
     """Padded-plane shapes: ((RY, LY), (RC, LC)) rows/lanes, luma/chroma."""
-    ry = aligned_h + 2 * YP + 16          # +16: tall loads reach py+by+oj+24
+    ry = aligned_h + 2 * YP + 16
     ly = ((aligned_w - MB + 47 + Y_L0) // 128) * 128 + 256
     rc = aligned_h // 2 + 2 * CP + 8
     lc = ((aligned_w // 2 - 8 + 23 + C_L0) // 128) * 128 + 256
@@ -99,14 +105,28 @@ def plane_pads(aligned_w: int, aligned_h: int):
     return (r8(ry), ly), (r8(rc), lc)
 
 
+def vmem_estimate(aligned_w: int, aligned_h: int) -> int:
+    (ry, ly), (rc, lc) = plane_pads(aligned_w, aligned_h)
+    _, _, _, p = geometry(aligned_w, aligned_h)
+    pads = 4 * (ry * ly + 2 * rc * lc)
+    strips = 4 * (3 * p * 16 * 128 + 2 * 3 * p * 8 * 128
+                  + p * 16 * 128 + 2 * p * 8 * 128)
+    return pads + strips + (2 << 20)
+
+
+def supported(aligned_w: int, aligned_h: int, budget=48 * 1024 * 1024):
+    _, _, _, p = geometry(aligned_w, aligned_h)
+    return p <= 128 and vmem_estimate(aligned_w, aligned_h) <= budget
+
+
 # ------------------------------------------------------------------ consts
 
 def _dct_row_patterns():
-    """(640-periodic) per-row diagonal patterns for the row-contracting DCT
-    passes, packed as one (16, 48) int32 table tiled to rows in-kernel:
-    col d+7 of [:, 0:16)  = fdct:  B[j, j+d]            (j = row % 8)
-    col d+7 of [:, 16:32) = idct value: B[j+d, j], k=j+d >= 1
-    col d+7 of [:, 32:48) = idct sign-odd: -sign*odd of the same entry
+    """(16, 48) int32 diagonal patterns for row-contracting DCT passes
+    (tiled to the member row stride by the caller):
+    cols [0:15]  d+7 -> fdct  B[j, j+d]                (j = row % 8)
+    cols [16:31] d+7 -> idct value B[j+d, j], k=j+d >= 1
+    cols [32:47] d+7 -> idct sign-odd: -sign*odd of the same entry
     """
     b = np.asarray(tables.DCT_BASIS_8, np.int64)
     out = np.zeros((16, 48), np.int32)
@@ -124,12 +144,10 @@ def _dct_row_patterns():
 
 
 def _dct_lane_patterns():
-    """(48, 32) int32: same three pattern families along lanes (c = lane%8):
-    rows d+7, 15+d+7... wait — rows [0:15) fdct, [16:31) idct val,
-    [32:47) idct sign-odd; each row d+7 holds the 32-lane pattern."""
+    """(48, 16) int32: the same three families along lanes (c = lane%8)."""
     b = np.asarray(tables.DCT_BASIS_8, np.int64)
-    out = np.zeros((48, 32), np.int32)
-    for c in range(32):
+    out = np.zeros((48, 16), np.int32)
+    for c in range(16):
         j = c % 8
         for d in range(-7, 8):
             k = j + d
@@ -142,38 +160,51 @@ def _dct_lane_patterns():
     return out
 
 
-def _qm_tiles(p):
-    """(P*16, 64) int32 [intra | inter] QM tiled over members/quads, plus
-    (P*16, 64) f32 reciprocals (the f32 seed for exact division)."""
+def _qm_tile(block_rows):
+    """(block_rows, 32) int64 [intra(16) | inter(16)] QM pattern."""
     qi = np.asarray(tables.INTRA_QM_8x8, np.int64)
     qe = np.asarray(tables.INTER_QM_8x8, np.int64)
-    t = np.zeros((16, 64), np.int64)
-    for r in range(16):
-        for c in range(32):
+    t = np.zeros((block_rows, 32), np.int64)
+    for r in range(block_rows):
+        for c in range(16):
             t[r, c] = qi[r % 8, c % 8]
-            t[r, 32 + c] = qe[r % 8, c % 8]
-    full = np.tile(t, (p, 1))
-    return full.astype(np.int32), (1.0 / full).astype(np.float32)
+            t[r, 16 + c] = qe[r % 8, c % 8]
+    return t
 
 
 def _consts(p):
+    qy = np.tile(_qm_tile(16), (p, 1))
+    qc = np.tile(_qm_tile(8), (p, 1))
     return dict(
-        wrow=jnp.asarray(np.tile(_dct_row_patterns(), (p, 1))),   # (P*16,48)
-        wlane=jnp.asarray(_dct_lane_patterns()),                   # (48, 32)
-        qm=jnp.asarray(_qm_tiles(p)[0]),                           # (P*16,64)
-        qmr=jnp.asarray(_qm_tiles(p)[1]),                          # (P*16,64)
+        wrow=jnp.asarray(np.tile(_dct_row_patterns(), (p, 1))),
+        wrowc=jnp.asarray(np.tile(_dct_row_patterns()[:8], (p, 1))),
+        wlane=jnp.asarray(_dct_lane_patterns()),
+        qm_y=jnp.asarray(qy.astype(np.int32)),
+        qmr_y=jnp.asarray((1.0 / qy).astype(np.float32)),
+        qm_c=jnp.asarray(qc.astype(np.int32)),
+        qmr_c=jnp.asarray((1.0 / qc).astype(np.float32)),
         dclut=jnp.asarray(
             np.concatenate([tables.luma_dc_scale(np.arange(32)),
                             tables.chroma_dc_scale(np.arange(32))])
-            .astype(np.int32)),                                    # (64,)
+            .astype(np.int32)),
+        mi=jnp.asarray(np.broadcast_to(np.arange(p, dtype=np.int32)
+                                       [:, None], (p, 128)).copy()),
+        ones16=jnp.asarray((np.arange(p * 16)[None, :] // 16
+                            == np.arange(p)[:, None])
+                           .astype(np.float32)).astype(jnp.bfloat16),
+        sel16=jnp.asarray((np.arange(p * 16)[None, :]
+                           == 16 * np.arange(p)[:, None])
+                          .astype(np.float32)).astype(jnp.bfloat16),
+        sel8=jnp.asarray((np.arange(p * 8)[None, :]
+                          == 8 * np.arange(p)[:, None])
+                         .astype(np.float32)).astype(jnp.bfloat16),
     )
 
 
 # ----------------------------------------------------------- kernel helpers
 
 def _tree(m, group, axis, op):
-    """Roll-tree: position i holds reduce over [i, i+group); only positions
-    at multiples of `group` are consumed downstream."""
+    """Roll-tree: position i holds reduce over [i, i+group)."""
     n = m.shape[axis]
     shift = 1
     while shift < group:
@@ -183,8 +214,8 @@ def _tree(m, group, axis, op):
 
 
 def _hl(v):
-    """int32 in [0, 65535] -> (lo, hi) bf16 bytes."""
-    return (v & 255).astype(jnp.bfloat16), ((v >> 8) & 255).astype(jnp.bfloat16)
+    return (v & 255).astype(jnp.bfloat16), \
+        ((v >> 8) & 255).astype(jnp.bfloat16)
 
 
 def _mm(a, b):
@@ -200,34 +231,32 @@ def _seg_matmul(sel, d):
 
 
 def _trunc_shift(v, k):
-    """C truncating division by 2**k (toward zero) on int32."""
     return jnp.where(v < 0, -((-v) >> k), v >> k)
 
 
 def _rdiv_shift(v, k):
-    """rounded_div by 2**k (half away from zero)."""
     h = 1 << (k - 1)
     a = jnp.abs(v) + h
     return jnp.where(v < 0, -(a >> k), a >> k)
 
 
 def _udiv(a, d, rec):
-    """Exact floor(a / d) for a >= 0 (int32, up to 2^31-1), d >= 1 int32,
-    rec = f32 approx of 1/d. Two refinement steps bound the error to <= 1,
-    one final compare fixes it."""
+    """Exact floor(a / d) for a >= 0 int32, d >= 1 int32, rec ~ 1/d f32."""
     q = (a.astype(jnp.float32) * rec).astype(jnp.int32)
     r = a - q * d
-    q2 = q + (r.astype(jnp.float32) * rec).astype(jnp.int32)
-    r2 = a - q2 * d
-    q3 = jnp.where(r2 < 0, q2 - 1, q2)
-    r3 = a - q3 * d
-    q4 = jnp.where(r3 < 0, q3 - 1, q3)
-    r4 = a - q4 * d
-    return jnp.where(r4 >= d, q4 + 1, q4)
+    q = q + (r.astype(jnp.float32) * rec).astype(jnp.int32)
+    r = a - q * d
+    q = jnp.where(r < 0, q - 1, q)
+    r = a - q * d
+    q = jnp.where(r < 0, q - 1, q)
+    r = a - q * d
+    q = jnp.where(r >= d, q + 1, q)
+    r = a - q * d
+    return jnp.where(r >= d, q + 1, q)
 
 
 def _rdiv_dyn(v, d, rec):
-    """rounded_div_pos(v, d) with runtime positive divisor d (math.h:228)."""
+    """rounded_div_pos(v, d) with runtime positive divisor (math.h:228)."""
     a = jnp.abs(v) + (d >> 1)
     q = _udiv(a, d, rec)
     return jnp.where(v < 0, -q, q)
@@ -239,14 +268,12 @@ def _wrap16(v):
 
 def _lerp_half(a, b):
     t = a + b
-    q = _trunc_shift(jnp.where(t < 0, t - 1, t + 1), 1)
-    return q      # |t| <= 65535+1: fits int16 range semantics already
+    return _trunc_shift(jnp.where(t < 0, t - 1, t + 1), 1)
 
 
 def _lerp_quarter(a, b):
     t = 3 * a + b
-    q = _trunc_shift(jnp.where(t < 0, t - 2, t + 2), 2)
-    return _wrap16(q)
+    return _wrap16(_trunc_shift(jnp.where(t < 0, t - 2, t + 2), 2))
 
 
 def _row_iota(shape):
@@ -257,29 +284,28 @@ def _lane_iota(shape):
     return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
 
 
-def _seg_bcast_rows(x, group):
-    """Rows at multiples of `group` (zeros elsewhere) -> value replicated
-    across each group (masked doubling; no cross-segment pollution)."""
-    ri = _row_iota(x.shape)
-    shift = 1
-    while shift < group:
-        x = x + jnp.where((ri % group) >= shift,
-                          pltpu.roll(x, shift, 0), 0)
-        shift *= 2
-    return x
-
-
 def _expand_rows(s, reps):
-    """(P, 1) int32 -> (P*reps, 1): value repeated for each member's rows."""
-    return pltpu.repeat(s, reps, 0)
+    """(P, 1) int32 -> (P*reps, 1), ELEMENT-wise repetition
+    [s0,s0,...,s1,s1,...] via an exact one-hot matmul (values must be
+    < 256 so plain bf16 operands stay exact — all callers pass flags,
+    qp (<= 31), dc scales (<= 46) or pack indices).
 
+    NOTE pltpu.repeat(s, reps, 0) TILES the array ([s0,s1,...,s0,s1,...]),
+    which silently assigns every member the wrong mask rows — the root
+    cause of a long-hunted corruption (member r%P's flags landing on
+    member r//reps's rows)."""
+    p = s.shape[0]
+    e = (jax.lax.broadcasted_iota(jnp.int32, (p * reps, p), 1) ==
+         (jax.lax.broadcasted_iota(jnp.int32, (p * reps, p), 0) // reps)
+         ).astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        e, s.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
 
-# ----------------------------------------------------------------- kernel
 
 def _accept(sad, mad, ssd, c_sad, c_mad, c_ssd, ok, mad_thr):
     """evaluate_motion_candidate (motion.cpp:111-149) on lane-replicated
-    (P,128) vectors, incl. the C-precedence quirk on the SAD-tie branch.
-    Bool-valued selects are int32-cast (Mosaic cannot select i1 values)."""
+    (P,128) vectors, incl. the C-precedence quirk on the SAD-tie branch."""
     copy_branch = mad < mad_thr
     acc_copy = ((c_mad < mad)
                 | ((c_mad == mad) & (c_ssd < ssd))).astype(jnp.int32)
@@ -291,26 +317,36 @@ def _accept(sad, mad, ssd, c_sad, c_mad, c_ssd, ok, mad_thr):
 
 
 def _coff_table(oi, v):
-    """((bx+oi)>>1) - (bx>>1) for parity v (0=even bx, 1=odd bx)."""
+    """((bx+oi)>>1) - (bx>>1) for bx parity v (0 even, 1 odd), |oi| <= 1."""
     if v == 0:
         return -1 if oi < 0 else 0
     return 1 if oi > 0 else 0
 
 
-def _build_wave_kernel(aligned_w, aligned_h, p, wb, hb, n_waves, is_inter,
-                       stage=99):
+# ----------------------------------------------------------------- kernel
+
+def _build_wave_kernel(aligned_w, aligned_h, p, wb, hb, n_waves, is_inter):
     mb = MB
     (ry, ly), (rc, lc) = plane_pads(aligned_w, aligned_h)
     py16 = p * 16
     pc8 = p * 8
 
-    def kernel(params, srcy_ref, srcc_ref, pred_ref, desc_ref,
-               wrow_ref, wlane_ref, qm_ref, qmr_ref, dclut_ref,
+    def kernel(params, srcy_ref, srcc_ref, predy_ref, predc_ref, desc_ref,
+               wrow_ref, wrowc_ref, wlane_ref, qmy_ref, qmry_ref,
+               qmc_ref, qmrc_ref, dclut_ref, mi_ref, ones16_ref,
+               sel16_ref, sel8_ref,
                pyin, puin, pvin,
-               desc_o, coef_o, pyout, puout, pvout,
-               pady, padu, padv, ystr, ustr, vstr, wpred, stash,
-               stgy, stgu, stgv, sems, fsem):
+               desc_o, coefy_o, coefc_o, pyout, puout, pvout,
+               pady, padu, padv, ystr, ustr, vstr,
+               stash_y, stash_c, stgy, stgu, stgv, sm_state, sems,
+               fsem, ssem):
         w = pl.program_id(0)
+
+        # hard step-to-step serialization: grid iterations must not
+        # overlap (wave w+1 reads wave w's flush)
+        @pl.when(w > 0)
+        def _():
+            pltpu.semaphore_wait(ssem, 1)
 
         @pl.when(w == 0)
         def _():
@@ -322,22 +358,17 @@ def _build_wave_kernel(aligned_w, aligned_h, p, wb, hb, n_waves, is_inter,
 
         quality = params[0]
         mad_thr = params[1]
-
-        # ---- deferred recon flush: wave w-1's blocks (stashed at the end
-        # of the previous grid step) land in the pads HERE, before any of
-        # this step's reads. Cross-grid-step scratch stores followed by
-        # next-step dynamic loads were observed to be incoherent on chip
-        # (ring-0 SAD/MAD of distance-1 candidates); same-step ordering
-        # holds, so the store is deferred into the reader's own step.
         li16f = _lane_iota((16, 128))
         li8f = _lane_iota((8, 128))
 
+        # ---- deferred recon flush: wave w-1's stashed blocks land in the
+        # pads HERE, before any of this step's reads (staged + DMA-fenced).
         @pl.when(w > 0)
         def _flush():
             wp = w - 1
             bj0p = jnp.maximum(0, (wp - wb + SKEW) // SKEW)
-            geo = []
-            for m in range(p):
+
+            def fbody(m, _):
                 bj_sp = jnp.clip(bj0p + m, 0, hb - 1)
                 bi_sp = jnp.clip(wp - SKEW * bj_sp, 0, wb - 1)
                 px_sp = bi_sp * mb
@@ -351,56 +382,56 @@ def _build_wave_kernel(aligned_w, aligned_h, p, wb, hb, n_waves, is_inter,
                 clane = (px_sp >> 1) + C_L0
                 ctile = pl.multiple_of((clane >> 7) << 7, 128)
                 coff = clane - ctile
-                geo.append((valid_sp, row, tile, off, crow, ctile, coff))
 
                 yblk = jnp.concatenate(
-                    [stash[16 * m:16 * m + 16, 0:16],
+                    [stash_y[pl.ds(16 * m, 16), :],
                      jnp.zeros((16, 112), jnp.int32)], axis=1)
                 cur = pady[pl.ds(pl.multiple_of(row, 8), 16),
                            pl.ds(tile, 128)]
-                sh = pltpu.roll(yblk, off, 1)
-                stgy[16 * m:16 * m + 16, :] = jnp.where(
-                    (li16f >= off) & (li16f < off + 16), sh, cur)
-
+                stgy[0:16, :] = jnp.where(
+                    (li16f >= off) & (li16f < off + 16),
+                    pltpu.roll(yblk, off, 1), cur)
+                cblk = stash_c[pl.ds(8 * m, 8), :]
                 ublk = jnp.concatenate(
-                    [stash[16 * m:16 * m + 8, 16:24],
-                     jnp.zeros((8, 120), jnp.int32)], axis=1)
+                    [cblk[:, 0:8], jnp.zeros((8, 120), jnp.int32)], axis=1)
                 vblk = jnp.concatenate(
-                    [stash[16 * m:16 * m + 8, 24:32],
-                     jnp.zeros((8, 120), jnp.int32)], axis=1)
+                    [cblk[:, 8:16], jnp.zeros((8, 120), jnp.int32)],
+                    axis=1)
                 curu = padu[pl.ds(pl.multiple_of(crow, 8), 8),
                             pl.ds(ctile, 128)]
                 curv = padv[pl.ds(pl.multiple_of(crow, 8), 8),
                             pl.ds(ctile, 128)]
                 cm = (li8f >= coff) & (li8f < coff + 8)
-                stgu[8 * m:8 * m + 8, :] = jnp.where(
-                    cm, pltpu.roll(ublk, coff, 1), curu)
-                stgv[8 * m:8 * m + 8, :] = jnp.where(
-                    cm, pltpu.roll(vblk, coff, 1), curv)
-
-            for m in range(p):
-                valid_sp, row, tile, off, crow, ctile, coff = geo[m]
+                stgu[0:8, :] = jnp.where(cm, pltpu.roll(ublk, coff, 1),
+                                         curu)
+                stgv[0:8, :] = jnp.where(cm, pltpu.roll(vblk, coff, 1),
+                                         curv)
 
                 @pl.when(valid_sp)
-                def _(m=m, row=row, tile=tile, crow=crow, ctile=ctile):
+                def _():
                     cy_ = pltpu.make_async_copy(
-                        stgy.at[pl.ds(16 * m, 16)],
+                        stgy.at[pl.ds(0, 16)],
                         pady.at[pl.ds(pl.multiple_of(row, 8), 16),
-                                pl.ds(tile, 128)], fsem.at[0, m])
+                                pl.ds(tile, 128)], fsem.at[0, 0])
                     cu_ = pltpu.make_async_copy(
-                        stgu.at[pl.ds(8 * m, 8)],
+                        stgu.at[pl.ds(0, 8)],
                         padu.at[pl.ds(pl.multiple_of(crow, 8), 8),
-                                pl.ds(ctile, 128)], fsem.at[1, m])
+                                pl.ds(ctile, 128)], fsem.at[1, 0])
                     cv_ = pltpu.make_async_copy(
-                        stgv.at[pl.ds(8 * m, 8)],
+                        stgv.at[pl.ds(0, 8)],
                         padv.at[pl.ds(pl.multiple_of(crow, 8), 8),
-                                pl.ds(ctile, 128)], fsem.at[2, m])
+                                pl.ds(ctile, 128)], fsem.at[2, 0])
                     cy_.start(); cu_.start(); cv_.start()
                     cy_.wait(); cu_.wait(); cv_.wait()
+                return 0
+
+            jax.lax.fori_loop(0, p, fbody, 0)
 
         # ---- member geometry
         bj0 = jnp.maximum(0, (w - wb + SKEW) // SKEW)
-        mi = _row_iota((p, 128))
+        mi = mi_ref[...]   # host constant: dim-0 iota on (P, 128) shapes
+        # materializes as zeros at some program positions (observed on
+        # chip); never trust in-kernel row iotas for member indexing
         bj_v0 = bj0 + mi
         valid_v = (bj_v0 < hb) & (bj_v0 * SKEW <= w)
         bj_v = jnp.clip(bj_v0, 0, hb - 1)
@@ -411,39 +442,36 @@ def _build_wave_kernel(aligned_w, aligned_h, p, wb, hb, n_waves, is_inter,
         def member_scalars(m):
             bj_s = jnp.clip(bj0 + m, 0, hb - 1)
             bi_s = jnp.clip(w - SKEW * bj_s, 0, wb - 1)
-            return bi_s * mb, bj_s * mb, \
-                ((bj0 + m) < hb) & (((bj0 + m) * SKEW) <= w)
+            return bi_s * mb, bj_s * mb
 
-        ws_src = srcy_ref[0].astype(jnp.int32)          # (P*16, 32)
+        ws_src_y = srcy_ref[0].astype(jnp.int32)        # (P*16, 16)
         csrc = srcc_ref[0].astype(jnp.int32)            # (P*8, 16)
-        src_rep = jnp.concatenate([ws_src[:, 0:16]] * 8, axis=1)
+        src_rep = jnp.concatenate([ws_src_y] * 8, axis=1)
         u_rep = jnp.concatenate([csrc[:, 0:8]] * 16, axis=1)
         v_rep = jnp.concatenate([csrc[:, 8:16]] * 16, axis=1)
 
-        ones16 = ((_lane_iota((p, py16)) // 16) ==
-                  _row_iota((p, py16))).astype(jnp.bfloat16)
-        sel16 = (_lane_iota((p, py16)) ==
-                 16 * _row_iota((p, py16))).astype(jnp.bfloat16)
-        sel8 = (_lane_iota((p, pc8)) ==
-                8 * _row_iota((p, pc8))).astype(jnp.bfloat16)
+        ones16 = ones16_ref[...]
+        sel16 = sel16_ref[...]
+        sel8 = sel8_ref[...]
 
-        def bail(*vals):
-            acc = jnp.zeros((), jnp.int32)
-            for v_ in vals:
-                acc = acc + jnp.sum(v_.astype(jnp.int32))
-            desc_o[0] = jnp.broadcast_to(acc, (p, 16))
-            coef_o[0] = jnp.zeros((py16, 32), jnp.int16)
+        # Sublane residues are applied as a log-decomposed chain of
+        # STATIC rolls selected by the residue bits: dynamic axis-0 rolls
+        # whose amounts come from vector-extracted scalars miscompile in
+        # large kernels (only tile-leader rows survive), while static-
+        # amount rolls under scalar-bool selects are reliable.
+        def _shift_rows(sl, resid):
+            n = sl.shape[0]
+            rv = jnp.zeros(sl.shape, jnp.int32) + resid   # vector-domain
+            for k in (1, 2, 4):
+                sl = jnp.where((rv & k) != 0,
+                               pltpu.roll(sl, n - k, 0), sl)
+            return sl
 
-        if stage <= 1:
-            bail(ws_src, csrc, src_rep, u_rep, v_rep)
-            return
-
-        # ---- strip loads (probe-verified aligned-load + dynamic-roll)
         def load_y16(row, lane0):
             al = pl.multiple_of((row >> 3) << 3, 8)
             tile = pl.multiple_of((lane0 >> 7) << 7, 128)
             sl = pady[pl.ds(al, 24), pl.ds(tile, 256)]
-            sl = pltpu.roll(sl, (24 - (row - al)) % 24, 0)
+            sl = _shift_rows(sl, row - al)
             sl = pltpu.roll(sl, (256 - (lane0 - tile)) % 256, 1)
             return sl[0:16, 0:128]
 
@@ -451,17 +479,25 @@ def _build_wave_kernel(aligned_w, aligned_h, p, wb, hb, n_waves, is_inter,
             al = pl.multiple_of((row >> 3) << 3, 8)
             tile = pl.multiple_of((lane0 >> 7) << 7, 128)
             sl = pad[pl.ds(al, 16), pl.ds(tile, 256)]
-            sl = pltpu.roll(sl, (16 - (row - al)) % 16, 0)
+            sl = _shift_rows(sl, row - al)
             sl = pltpu.roll(sl, (256 - (lane0 - tile)) % 256, 1)
             return sl[0:8, 0:128]
 
-        def build_strips(offs_y, bx, by):
-            """Fill ystr/ustr/vstr: strip ojx covers candidate y-offset
-            offs_y[ojx] at the member's current base (bx, by)."""
+        def state_to_smem(bx, by):
             for m in range(p):
-                px_s, py_s, _ = member_scalars(m)
-                bx_s = bx[m, 0]
-                by_s = by[m, 0]
+                sm_state[0, m] = bx[m, 0]
+                sm_state[1, m] = by[m, 0]
+
+        def build_strips(offs_y, bx, by):
+            state_to_smem(bx, by)
+
+            def body(m, _):
+                bj_s = jnp.clip(bj0 + m, 0, hb - 1)
+                bi_s = jnp.clip(w - SKEW * bj_s, 0, wb - 1)
+                px_s = bi_s * mb
+                py_s = bj_s * mb
+                bx_s = sm_state[0, m]
+                by_s = sm_state[1, m]
                 lane0 = px_s + bx_s + (Y_L0 - 32)
                 cl0 = (px_s >> 1) + (bx_s >> 1) + (C_L0 - 16)
                 for ojx, oj in enumerate(offs_y):
@@ -473,32 +509,21 @@ def _build_wave_kernel(aligned_w, aligned_h, p, wb, hb, n_waves, is_inter,
                         load_c8(padu, crow, cl0)
                     vstr[pl.ds(ojx * pc8 + 8 * m, 8)] = \
                         load_c8(padv, crow, cl0)
+                return 0
 
-        def pack_y(entries):
-            """entries: list of (strip_slice, src_lane) per 16-lane group.
-            Returns (P*16, 128) with entry g's block placed at [16g,+16)."""
-            li = _lane_iota((py16, 128))
-            pk = jnp.zeros((py16, 128), jnp.int32)
-            for g, (strip, lane) in enumerate(entries):
-                amt = (16 * g - lane) % 128
-                rolled = pltpu.roll(strip, amt, 1)
-                pk = jnp.where((li >= 16 * g) & (li < 16 * g + 16),
-                               rolled, pk)
-            return pk
+            jax.lax.fori_loop(0, p, body, 0)
 
-        def pack_c(entries, nlanes=8):
-            li = _lane_iota((pc8, 128))
-            pk = jnp.zeros((pc8, 128), jnp.int32)
+        def pack(entries, nl, rows):
+            """entries: (strip, src_lane) per nl-lane group -> packed."""
+            li = _lane_iota((rows, 128))
+            pk = jnp.zeros((rows, 128), jnp.int32)
             for g, (strip, lane) in enumerate(entries):
-                amt = (nlanes * g - lane) % 128
-                rolled = pltpu.roll(strip, amt, 1)
-                pk = jnp.where((li >= nlanes * g) & (li < nlanes * g + nlanes),
-                               rolled, pk)
+                amt = (nl * g - lane) % 128
+                pk = jnp.where((li >= nl * g) & (li < nl * g + nl),
+                               pltpu.roll(strip, amt, 1), pk)
             return pk
 
         def y_metrics(d):
-            """d (P*16, 128) abs diffs -> (sad (P,128) win-sums at cols 16g,
-            mad (P,128) win-maxes at cols 16g)."""
             rs = _seg_matmul(ones16, d)
             sadw = _tree(rs, 16, 1, jnp.add)
             md = _tree(_tree(d, 16, 1, jnp.maximum), 16, 0, jnp.maximum)
@@ -513,41 +538,22 @@ def _build_wave_kernel(aligned_w, aligned_h, p, wb, hb, n_waves, is_inter,
             return jnp.broadcast_to(a[:, c:c + 1], (p, 128))
 
         def dyncol(a, c):
-            """a (P,128), c (P,1) dynamic column -> (P,1)."""
             li = _lane_iota((p, 128))
             return jnp.broadcast_to(
                 jnp.sum(jnp.where(li == c, a, 0), axis=1, keepdims=True),
                 (p, 128))
 
-        def causal_ok(dx, dy):
+        def causal_ok_parts(dx, dy):
             cx = px_v + dx
             cy = py_v + dy
             causal = (cy <= py_v - mb) | (cx <= px_v - mb)
             bounds = (cx >= 0) & (cx <= aligned_w - mb) & \
                      (cy >= 0) & (cy <= aligned_h - mb)
+            return causal, bounds, cy
+
+        def causal_ok(dx, dy):
+            causal, bounds, _ = causal_ok_parts(dx, dy)
             return causal & bounds & valid_v
-
-        def watch():
-            dbg_ = pady[pl.ds(48, 16), pl.ds(128, 128)]
-            return pltpu.roll(dbg_, 128 - 48, 1)
-
-        def watch24():
-            dbg_ = pady[pl.ds(48, 24), pl.ds(128, 256)]
-            return pltpu.roll(dbg_, 256 - 48, 1)[0:16, 0:128]
-
-        def watch32():
-            dbg_ = pady[pl.ds(48, 32), pl.ds(128, 256)]
-            return pltpu.roll(dbg_, 256 - 48, 1)[0:16, 0:128]
-
-        dbg = None
-        if stage in (89, 90, 91):
-            dbg = watch()
-        elif stage == 94:
-            dbg = watch32()
-        elif stage == 95:
-            dbg = watch24()
-        if stage == 89:
-            dbg = watch()
 
         # ---------------- intra search: ring 0 + 4 refinement rings
         zero_p = jnp.zeros((p, 128), jnp.int32)
@@ -557,130 +563,79 @@ def _build_wave_kernel(aligned_w, aligned_h, p, wb, hb, n_waves, is_inter,
         mad = jnp.full((p, 128), INT32_MAX)
         ssd = jnp.full((p, 128), INT32_MAX)
 
-        ring_list = [_RING0] + [_RINGS[s] for s in (8, 4, 2, 1)]
-        if stage == 87:   # debug: dump the ring-0 oj=0 strip via coef_o
-            build_strips((-32, -16, 0), bx, by)
-            coef_o[0] = _wrap16(
-                pltpu.roll(ystr[2 * py16:3 * py16], 128 - 32, 1)[:, 0:32]
-            ).astype(jnp.int16)
-            desc_o[0] = jnp.zeros((p, 16), jnp.int32)
-            return
-        if stage == 2:
-            build_strips((-32, -16, 0), bx, by)
-            bail(ystr[0:py16], ustr[0:pc8], vstr[0:pc8])
-            return
-        if stage == 3:
-            ring_list = ring_list[:1]
-        ring_states = []
-        for ring_i, offs in enumerate(ring_list):
+        for ring_i, offs in enumerate([_RING0] + [_RINGS[s]
+                                                  for s in (8, 4, 2, 1)]):
             s = [None, 8, 4, 2, 1][ring_i]
-            offs_y = sorted({oj for _, oj in offs})      # ascending: 3
+            offs_y = sorted({oj for _, oj in offs})
             build_strips(offs_y, bx, by)
             ojx_of = {oj: i for i, oj in enumerate(offs_y)}
             parity = s == 1
 
-            ent_y, ent_u, ent_v = [], [], []
-            for k, (oi, oj) in enumerate(offs):
-                ystrip = ystr[ojx_of[oj] * py16:(ojx_of[oj] + 1) * py16]
-                ent_y.append((ystrip, 32 + oi))
-            dpk = jnp.abs(pack_y(ent_y) - src_rep)
-            if stage == 31:
-                bail(dpk)
-                return
+            ent_y = [(ystr[ojx_of[oj] * py16:(ojx_of[oj] + 1) * py16],
+                      32 + oi) for oi, oj in offs]
+            dpk = jnp.abs(pack(ent_y, 16, py16) - src_rep)
             variants = (0, 1) if parity else (0,)
-            for k, (oi, oj) in enumerate(offs):
+            ent_u, ent_v = [], []
+            for oi, oj in offs:
                 us = ustr[ojx_of[oj] * pc8:(ojx_of[oj] + 1) * pc8]
                 vs = vstr[ojx_of[oj] * pc8:(ojx_of[oj] + 1) * pc8]
                 for v in variants:
-                    c_off = _coff_table(oi, v) if parity else \
-                        (oi >> 1 if oi >= 0 else -((-oi) >> 1))
+                    c_off = _coff_table(oi, v) if parity else oi >> 1
                     ent_u.append((us, 16 + c_off))
                     ent_v.append((vs, 16 + c_off))
-            dcu = jnp.abs(pack_c(ent_u) - u_rep)
-            dcv = jnp.abs(pack_c(ent_v) - v_rep)
-            dc = jnp.maximum(dcu, dcv)
-            if stage == 32:
-                bail(_seg_matmul(ones16, dpk))
-                return
-            if stage == 33:
-                bail(_tree(_tree(dpk, 16, 1, jnp.maximum), 16, 0,
-                           jnp.maximum))
-                return
+            dc = jnp.maximum(
+                jnp.abs(pack(ent_u, 8, pc8) - u_rep),
+                jnp.abs(pack(ent_v, 8, pc8) - v_rep))
             sadw, madw = y_metrics(dpk)
-            if stage == 34:
-                bail(sadw, madw)
-                return
             madc = c_metrics(dc)
-            if stage == 35:
-                bail(madc, dc)
-                return
 
-            if stage == 36:
-                bail(causal_ok(zero_p - 16, zero_p - 32).astype(jnp.int32))
-                return
-            if stage == 37:
-                ssum = zero_p
-                for k, (oi, oj) in enumerate(offs):
-                    acc0 = _accept(sad, mad, ssd, col(sadw, 16 * k),
-                                   col(madw, 16 * k), zero_p + 5,
-                                   jnp.ones((p, 128), bool), mad_thr)
-                    ssum = ssum + acc0.astype(jnp.int32)
-                bail(ssum)
-                return
-            if stage == 38:
-                ssum = zero_p
-                for k, (oi, oj) in enumerate(offs):
-                    mc_k = col(madc, 8 * k)
-                    ssum = ssum + mc_k
-                bail(ssum)
-                return
+            ebx, eby = bx, by     # FROZEN ring-entry base: candidate
+            # positions never track mid-ring acceptances
+            # (motion.cpp:354-418 captures best_x/best_y before the scan)
             for k, (oi, oj) in enumerate(offs):
                 c_sad = col(sadw, 16 * k)
                 my_k = col(madw, 16 * k)
                 if parity:
-                    cidx = 8 * (2 * k + (bx & 1))
-                    mc_k = dyncol(madc, cidx)
+                    mc_k = dyncol(madc, 8 * (2 * k + (ebx & 1)))
                 else:
                     mc_k = col(madc, 8 * k)
                 c_mad = jnp.maximum(my_k, mc_k)
-                dx = bx + oi
-                dy = by + oj
+                dx = ebx + oi
+                dy = eby + oj
                 c_ssd = dx * dx + dy * dy
                 ok = causal_ok(dx, dy)
                 acc = _accept(sad, mad, ssd, c_sad, c_mad, c_ssd, ok,
                               mad_thr)
+                if (ring_i == 0 and
+                        k == int(os.environ.get("CAIRO_WAVE_CANDDUMP",
+                                                -1))):
+                    _ca, _bo, _cy = causal_ok_parts(dx, dy)
+                    rdump = (_ca.astype(jnp.int32), _bo.astype(jnp.int32),
+                             _cy, ok.astype(jnp.int32))
                 bx = jnp.where(acc, dx, bx)
                 by = jnp.where(acc, dy, by)
                 sad = jnp.where(acc, c_sad, sad)
                 mad = jnp.where(acc, c_mad, mad)
                 ssd = jnp.where(acc, c_ssd, ssd)
-            ring_states.append((bx, by, sad, mad))
-
-        if stage == 90:
-            dbg = watch()
-        if stage <= 4:
-            bail(bx, by, sad, mad, ssd)
-            return
+            if ring_i == int(os.environ.get("CAIRO_WAVE_RINGDUMP", -1)):
+                rdump = (bx, by, sad, mad)
 
         # ---------------- sub-pel refinement (motion.cpp:277-352)
         build_strips((-1, 0, 1), bx, by)
         str_mid_y = ystr[py16:2 * py16]
-        ent_b = [(str_mid_y, 32)] * 8
-        pb = pack_y(ent_b)
+        pb = pack([(str_mid_y, 32)] * 8, 16, py16)
         ent_t = []
-        for k, (di, dj) in enumerate(_SP_DIRS):
+        for di, dj in _SP_DIRS:
             ojx = dj + 1
             ent_t.append((ystr[ojx * py16:(ojx + 1) * py16], 32 + di))
-        pt = pack_y(ent_t)
+        pt = pack(ent_t, 16, py16)
         half_y = _lerp_half(pb, pt)
         quart_y = _lerp_quarter(pb, pt)
-        dh = jnp.abs(half_y - src_rep)
-        dq = jnp.abs(quart_y - src_rep)
-        sad_h, mad_h = y_metrics(dh)
-        sad_q, mad_q = y_metrics(dq)
+        sad_h, mad_h = y_metrics(jnp.abs(half_y - src_rep))
+        sad_q, mad_q = y_metrics(jnp.abs(quart_y - src_rep))
 
         ent_bu, ent_bv, ent_tu, ent_tv = [], [], [], []
-        for k, (di, dj) in enumerate(_SP_DIRS):
+        for di, dj in _SP_DIRS:
             ojx = dj + 1
             us = ustr[ojx * pc8:(ojx + 1) * pc8]
             vs = vstr[ojx * pc8:(ojx + 1) * pc8]
@@ -690,21 +645,22 @@ def _build_wave_kernel(aligned_w, aligned_h, p, wb, hb, n_waves, is_inter,
                 ent_tv.append((vs, 16 + c_off))
                 ent_bu.append((ustr[pc8:2 * pc8], 16))
                 ent_bv.append((vstr[pc8:2 * pc8], 16))
-        pbu = pack_c(ent_bu)
-        pbv = pack_c(ent_bv)
-        ptu = pack_c(ent_tu)
-        ptv = pack_c(ent_tv)
-        dch = jnp.maximum(jnp.abs(_lerp_half(pbu, ptu) - u_rep),
-                          jnp.abs(_lerp_half(pbv, ptv) - v_rep))
-        dcq = jnp.maximum(jnp.abs(_lerp_quarter(pbu, ptu) - u_rep),
-                          jnp.abs(_lerp_quarter(pbv, ptv) - v_rep))
-        madc_h = c_metrics(dch)
-        madc_q = c_metrics(dcq)
+        pbu = pack(ent_bu, 8, pc8)
+        pbv = pack(ent_bv, 8, pc8)
+        ptu = pack(ent_tu, 8, pc8)
+        ptv = pack(ent_tv, 8, pc8)
+        half_u = _lerp_half(pbu, ptu)
+        half_v = _lerp_half(pbv, ptv)
+        quart_u = _lerp_quarter(pbu, ptu)
+        quart_v = _lerp_quarter(pbv, ptv)
+        madc_h = c_metrics(jnp.maximum(jnp.abs(half_u - u_rep),
+                                       jnp.abs(half_v - v_rep)))
+        madc_q = c_metrics(jnp.maximum(jnp.abs(quart_u - u_rep),
+                                       jnp.abs(quart_v - v_rep)))
 
         sp_en = zero_p
         sp_am = zero_p
         sp_ix = zero_p
-        # (all (p, 128), lane-replicated)
         for k, (di, dj) in enumerate(_SP_DIRS):
             ok = causal_ok(bx + di, by + dj)
             cidx = 8 * (2 * k + (bx & 1))
@@ -723,12 +679,6 @@ def _build_wave_kernel(aligned_w, aligned_h, p, wb, hb, n_waves, is_inter,
                 sp_ix = jnp.where(acc, _sp_index(di, dj), sp_ix)
                 sad = jnp.where(acc, c_sad, sad)
                 mad = jnp.where(acc, c_mad, mad)
-
-        if stage == 91:
-            dbg = watch()
-        if stage <= 5:
-            bail(bx, by, sad, mad, sp_en, sp_am, sp_ix)
-            return
 
         is_motion = ((bx != 0) | (by != 0) | (sp_en != 0)).astype(jnp.int32)
         is_copy = (mad < mad_thr).astype(jnp.int32)
@@ -764,195 +714,154 @@ def _build_wave_kernel(aligned_w, aligned_h, p, wb, hb, n_waves, is_inter,
             mx, my = bx, by
             o_sp_en, o_sp_am, o_sp_ix = sp_en, sp_am, sp_ix
 
-        # ---------------- final intra prediction extraction
-        # Full-width (.,128) arithmetic only: the chosen block stays at
-        # lanes [0,16) via rolls; junk lanes are masked at assembly.
-        def load_rows(pad, row, lane0, rows_out):
-            al = pl.multiple_of((row >> 3) << 3, 8)
-            tile = pl.multiple_of((lane0 >> 7) << 7, 128)
-            sl = pad[pl.ds(al, rows_out + 8), pl.ds(tile, 256)]
-            sl = pltpu.roll(sl, (rows_out + 8 - (row - al)) % (rows_out + 8),
-                            0)
-            sl = pltpu.roll(sl, (256 - (lane0 - tile)) % 256, 1)
-            return sl[0:rows_out, 0:128]
+        # ---------------- intra prediction from the sub-pel packs
+        # (masked group-fold: no per-member re-loads)
+        k_m = zero_p
+        for k, (di, dj) in enumerate(_SP_DIRS):
+            k_m = jnp.where(sp_ix == _sp_index(di, dj), k, k_m)
+        k_rows = _expand_rows(k_m[:, 0:1], 16)          # (P*16, 1)
+        li_y = _lane_iota((py16, 128))
+        gmask_y = (li_y // 16) == k_rows
 
-        li128p = _lane_iota((16, 128))
-        ri128p = _row_iota((16, 128))
-        combs = []
-        for m in range(p):
-            px_s, py_s, _ = member_scalars(m)
-            bx_s = bx[m, 0]
-            by_s = by[m, 0]
-            en_s = sp_en[m, 0]
-            am_s = sp_am[m, 0]
-            ix_s = sp_ix[m, 0]
-            di_s = jnp.zeros((), jnp.int32)
-            dj_s = jnp.zeros((), jnp.int32)
-            for (di, dj) in _SP_DIRS:
-                hit = ix_s == _sp_index(di, dj)
-                di_s = jnp.where(hit, di, di_s)
-                dj_s = jnp.where(hit, dj, dj_s)
-            di_s = jnp.where(en_s != 0, di_s, 0)
-            dj_s = jnp.where(en_s != 0, dj_s, 0)
+        def gfold(pk, mask, shifts):
+            x = jnp.where(mask, pk, 0)
+            for sh in shifts:
+                x = x + pltpu.roll(x, 128 - sh, 1)
+            return x
 
-            # luma: 24-row window at (bx-1, by-1); B at (1,1), T at (1+dj,
-            # 1+di) -> rolled to rows/lanes [0,16)
-            wt = load_rows(pady, py_s + by_s - 1 + YP,
-                           px_s + bx_s - 1 + Y_L0, 24)
-            bby = pltpu.roll(pltpu.roll(wt, 23, 0), 127, 1)[0:16]
-            tty = pltpu.roll(pltpu.roll(wt, (24 - 1 - dj_s) % 24, 0),
-                             (128 - 1 - di_s) % 128, 1)[0:16]
-            predy = jnp.where(
-                en_s != 0,
-                jnp.where(am_s != 0, _lerp_quarter(bby, tty),
-                          _lerp_half(bby, tty)), bby)
+        h_y = gfold(half_y, gmask_y, (16, 32, 64))
+        q_y = gfold(quart_y, gmask_y, (16, 32, 64))
+        en_rows_y = _expand_rows(sp_en[:, 0:1], 16) != 0
+        am_rows_y = _expand_rows(sp_am[:, 0:1], 16) != 0
+        pred_y_i = jnp.where(en_rows_y,
+                             jnp.where(am_rows_y, q_y, h_y), pb)[:, 0:16]
 
-            # chroma: 16-row windows at (cbx-1, cby-1)
-            cbx_s = bx_s >> 1
-            cby_s = by_s >> 1
-            ctx = ((bx_s + di_s) >> 1) - cbx_s
-            cty = ((by_s + dj_s) >> 1) - cby_s
-            crow = (py_s >> 1) + cby_s - 1 + CP
-            cl0 = (px_s >> 1) + cbx_s - 1 + C_L0
-            wu = load_rows(padu, crow, cl0, 16)
-            wv = load_rows(padv, crow, cl0, 16)
-            bu_ = pltpu.roll(pltpu.roll(wu, 15, 0), 127, 1)[0:8]
-            bv_ = pltpu.roll(pltpu.roll(wv, 15, 0), 127, 1)[0:8]
-            tu_ = pltpu.roll(pltpu.roll(wu, (16 - 1 - cty) % 16, 0),
-                             (128 - 1 - ctx) % 128, 1)[0:8]
-            tv_ = pltpu.roll(pltpu.roll(wv, (16 - 1 - cty) % 16, 0),
-                             (128 - 1 - ctx) % 128, 1)[0:8]
-            pu_ = jnp.where(en_s != 0,
-                            jnp.where(am_s != 0, _lerp_quarter(bu_, tu_),
-                                      _lerp_half(bu_, tu_)), bu_)
-            pv_ = jnp.where(en_s != 0,
-                            jnp.where(am_s != 0, _lerp_quarter(bv_, tv_),
-                                      _lerp_half(bv_, tv_)), bv_)
-
-            # assemble [Y | U | V] into lanes [0,16)|[16,24)|[24,32)
-            u16 = jnp.concatenate(
-                [pltpu.roll(pu_, 16, 1), jnp.zeros((8, 128), jnp.int32)],
-                axis=0)
-            v16 = jnp.concatenate(
-                [pltpu.roll(pv_, 24, 1), jnp.zeros((8, 128), jnp.int32)],
-                axis=0)
-            comb = jnp.where(
-                li128p < 16, predy,
-                jnp.where((li128p < 24) & (ri128p < 8), u16,
-                          jnp.where((li128p < 32) & (ri128p < 8), v16, 0)))
-            if stage == 81:    # debug: raw loaded window rows
-                combs.append(_wrap16(wt[0:16]))
-            else:
-                combs.append(comb)
-
-        wpred_v = jnp.concatenate(combs, axis=0)      # (P*16, 128)
-        if stage <= 6:
-            bail(wpred_v, mx, my)
-            return
+        g_m = 2 * k_m + (bx & 1)
+        g_rows = _expand_rows(g_m[:, 0:1], 8)           # (P*8, 1)
+        li_c = _lane_iota((pc8, 128))
+        gmask_c = (li_c // 8) == g_rows
+        h_u = gfold(half_u, gmask_c, (8, 16, 32, 64))
+        q_u = gfold(quart_u, gmask_c, (8, 16, 32, 64))
+        h_v = gfold(half_v, gmask_c, (8, 16, 32, 64))
+        q_v = gfold(quart_v, gmask_c, (8, 16, 32, 64))
+        en_rows_c = _expand_rows(sp_en[:, 0:1], 8) != 0
+        am_rows_c = _expand_rows(sp_am[:, 0:1], 8) != 0
+        pu_i = jnp.where(en_rows_c, jnp.where(am_rows_c, q_u, h_u),
+                         pbu)[:, 0:8]
+        pv_i = jnp.where(en_rows_c, jnp.where(am_rows_c, q_v, h_v),
+                         pbv)[:, 0:8]
+        pred_c_i = jnp.concatenate([pu_i, pv_i], axis=1)   # (P*8, 16)
 
         # ---------------- prediction select + encode + reconstruct
         intra_default = (is_intra != 0) & (is_motion == 0)
-        take_rows = _expand_rows(take.astype(jnp.int32)[:, 0:1],
-                                 16) != 0
-        id_rows = _expand_rows(intra_default.astype(jnp.int32)[:, 0:1],
-                               16) != 0
-        pred = jnp.where(take_rows, pred_ref[0].astype(jnp.int32),
-                         wpred_v[:, 0:32])
-        pred = jnp.where(id_rows, 0, pred)
-        res = _wrap16(ws_src - pred)
+        take_y = _expand_rows(take.astype(jnp.int32)[:, 0:1], 16) != 0
+        take_c = _expand_rows(take.astype(jnp.int32)[:, 0:1], 8) != 0
+        id_y = _expand_rows(intra_default.astype(jnp.int32)[:, 0:1],
+                            16) != 0
+        id_c = _expand_rows(intra_default.astype(jnp.int32)[:, 0:1],
+                            8) != 0
+        pred_y = jnp.where(take_y, predy_ref[0].astype(jnp.int32),
+                           pred_y_i)
+        pred_y = jnp.where(id_y, 0, pred_y)
+        pred_c = jnp.where(take_c, predc_ref[0].astype(jnp.int32),
+                           pred_c_i)
+        pred_c = jnp.where(id_c, 0, pred_c)
+        res_y = _wrap16(ws_src_y - pred_y)
+        res_c = _wrap16(csrc - pred_c)
 
-        ri32 = _row_iota((py16, 32))
-        li32 = _lane_iota((py16, 32))
+        riy = _row_iota((py16, 16))
+        liy = _lane_iota((py16, 16))
+        ric = _row_iota((pc8, 16))
+        lic = _lane_iota((pc8, 16))
 
         def fdct_lane(x):
-            s_ = jnp.zeros((py16, 32), jnp.int32)
+            nl = x.shape[1]
+            s_ = jnp.zeros_like(x)
             for d in range(-7, 8):
                 pat = wlane_ref[d + 7:d + 8, :]
-                s_ = s_ + pltpu.roll(x, (32 - d) % 32, 1) * pat
-            dc = (li32 % 8) == 0
-            t = jnp.where(dc, _trunc_shift(s_ * 45, 7), _trunc_shift(s_, 1))
+                s_ = s_ + pltpu.roll(x, (nl - d) % nl, 1) * pat
+            dc = (_lane_iota(x.shape) % 8) == 0
+            t = jnp.where(dc, _trunc_shift(s_ * 45, 7),
+                          _trunc_shift(s_, 1))
             return _wrap16(_rdiv_shift(t, 7))
 
-        def fdct_row(x):
-            s_ = jnp.zeros((py16, 32), jnp.int32)
+        def fdct_row(x, wr):
+            nr = x.shape[0]
+            s_ = jnp.zeros_like(x)
             for d in range(-7, 8):
-                pat = wrow_ref[:, d + 7:d + 8]
-                s_ = s_ + pltpu.roll(x, (py16 - d) % py16, 0) * pat
-            dc = (ri32 % 8) == 0
-            t = jnp.where(dc, _trunc_shift(s_ * 45, 7), _trunc_shift(s_, 1))
+                pat = wr[:, d + 7:d + 8]
+                s_ = s_ + pltpu.roll(x, (nr - d) % nr, 0) * pat
+            dc = (_row_iota(x.shape) % 8) == 0
+            t = jnp.where(dc, _trunc_shift(s_ * 45, 7),
+                          _trunc_shift(s_, 1))
             return _wrap16(_rdiv_shift(t, 7))
 
-        def idct_row(x):
+        def _seg_bcast(x, iota, group, axis):
+            shift = 1
+            out = x
+            while shift < group:
+                out = out + jnp.where((iota % group) >= shift,
+                                      pltpu.roll(out, shift, axis), 0)
+                shift *= 2
+            return out
+
+        def idct_row(x, wr):
+            nr = x.shape[0]
             sov = jnp.where(x < 0, -(x & 1), x & 1)
-            s_ = jnp.zeros((py16, 32), jnp.int32)
-            c_ = jnp.zeros((py16, 32), jnp.int32)
+            s_ = jnp.zeros_like(x)
+            c_ = jnp.zeros_like(x)
             for d in range(-7, 8):
-                vpat = wrow_ref[:, 16 + d + 7:16 + d + 8]
-                spat = wrow_ref[:, 32 + d + 7:32 + d + 8]
-                rolled = pltpu.roll(x, (py16 - d) % py16, 0)
-                rsov = pltpu.roll(sov, (py16 - d) % py16, 0)
-                s_ = s_ + rolled * vpat
-                c_ = c_ + rsov * spat
-            dc0 = jnp.where((ri32 % 8) == 0, x, 0)
-            dcb = _seg_bcast_rows(dc0, 8)
-            t = dcb * 45 + ((s_ + c_) >> 1)
-            return _wrap16(_rdiv_shift(t, 7))
+                vpat = wr[:, 16 + d + 7:16 + d + 8]
+                spat = wr[:, 32 + d + 7:32 + d + 8]
+                s_ = s_ + pltpu.roll(x, (nr - d) % nr, 0) * vpat
+                c_ = c_ + pltpu.roll(sov, (nr - d) % nr, 0) * spat
+            ri = _row_iota(x.shape)
+            dcb = _seg_bcast(jnp.where((ri % 8) == 0, x, 0), ri, 8, 0)
+            return _wrap16(_rdiv_shift(dcb * 45 + ((s_ + c_) >> 1), 7))
 
         def idct_lane(x):
+            nl = x.shape[1]
             sov = jnp.where(x < 0, -(x & 1), x & 1)
-            s_ = jnp.zeros((py16, 32), jnp.int32)
-            c_ = jnp.zeros((py16, 32), jnp.int32)
+            s_ = jnp.zeros_like(x)
+            c_ = jnp.zeros_like(x)
             for d in range(-7, 8):
                 vpat = wlane_ref[16 + d + 7:16 + d + 8, :]
                 spat = wlane_ref[32 + d + 7:32 + d + 8, :]
-                rolled = pltpu.roll(x, (32 - d) % 32, 1)
-                rsov = pltpu.roll(sov, (32 - d) % 32, 1)
-                s_ = s_ + rolled * vpat
-                c_ = c_ + rsov * spat
-            dc0 = jnp.where((li32 % 8) == 0, x, 0)
-            li_ = li32
-            shift = 1
-            dcb = dc0
-            while shift < 8:
-                dcb = dcb + jnp.where((li_ % 8) >= shift,
-                                      pltpu.roll(dcb, shift, 1), 0)
-                shift *= 2
-            t = dcb * 45 + ((s_ + c_) >> 1)
-            return _wrap16(_rdiv_shift(t, 7))
+                s_ = s_ + pltpu.roll(x, (nl - d) % nl, 1) * vpat
+                c_ = c_ + pltpu.roll(sov, (nl - d) % nl, 1) * spat
+            li = _lane_iota(x.shape)
+            dcb = _seg_bcast(jnp.where((li % 8) == 0, x, 0), li, 8, 1)
+            return _wrap16(_rdiv_shift(dcb * 45 + ((s_ + c_) >> 1), 7))
 
-        ty = fdct_row(fdct_lane(res))
+        ty = fdct_row(fdct_lane(res_y), wrow_ref)
+        tc = fdct_row(fdct_lane(res_c), wrowc_ref)
 
         # ---- adaptive QP (quantize.cpp:60-77) over the transformed MB
-        ymask = li32 < 16
-        excl = ((ri32 % 16) == 0) & (li32 == 0)
-        vmask = ymask & (~excl) & (ty != 0)
+        excl = ((riy % 16) == 0) & (liy == 0)
+        vmask = (~excl) & (ty != 0)
         cnt = _tree(_tree(vmask.astype(jnp.int32), 16, 0, jnp.add),
                     16, 1, jnp.add)
         sm = _tree(_tree(jnp.where(vmask, ty, 0), 16, 0, jnp.add),
                    16, 1, jnp.add)
         ssq = _tree(_tree(jnp.where(vmask, ty * ty, 0), 16, 0, jnp.add),
                     16, 1, jnp.add)
-        cnt_p = jnp.broadcast_to(jnp.concatenate(
-            [cnt[16 * m:16 * m + 1, 0:1] for m in range(p)], axis=0),
-            (p, 128))
-        sm_p = jnp.broadcast_to(jnp.concatenate(
-            [sm[16 * m:16 * m + 1, 0:1] for m in range(p)], axis=0),
-            (p, 128))
-        ssq_p = jnp.broadcast_to(jnp.concatenate(
-            [ssq[16 * m:16 * m + 1, 0:1] for m in range(p)], axis=0),
-            (p, 128))
+        def leader_vals(x):
+            lo = _seg_matmul(sel16, x & 0xFFFF)
+            hi = _seg_matmul(sel16, (x >> 16) & 0xFFFF)
+            v = lo + (hi << 16)
+            return jnp.broadcast_to(v[:, 0:1], (p, 128))
+
+        cnt_p = leader_vals(cnt)
+        sm_p = leader_vals(sm)
+        ssq_p = leader_vals(ssq)
         prod = sm_p * sm_p
         cnt1 = jnp.maximum(cnt_p, 1)
         div_in = prod + (cnt1 >> 1)
-        adiv = jnp.abs(div_in)
-        rec = 1.0 / cnt1.astype(jnp.float32)
-        q_ = _udiv(adiv, cnt1, rec)
+        q_ = _udiv(jnp.abs(div_in), cnt1, 1.0 / cnt1.astype(jnp.float32))
         tq = jnp.where(div_in < 0, -q_, q_)
         var_raw = jnp.where(cnt_p > 0, ssq_p - tq, 0)
-        var = _wrap16(var_raw)   # int16-wrapped for the table field only
+        var = _wrap16(var_raw)
 
-        # ilog2 on the uint32 view of the UNwrapped variance
-        # (quantize.cpp:60-77 feeds the raw int through log2)
         hit16 = (var_raw < 0) | (var_raw >= 65536)
         u = jnp.where(hit16, (var_raw >> 16) & 0xFFFF, var_raw & 0xFFFF)
         lg = jnp.where(hit16, 16, 0)
@@ -962,115 +871,140 @@ def _build_wave_kernel(aligned_w, aligned_h, p, wb, hb, n_waves, is_inter,
             u = jnp.where(hit, u >> sh, u)
         index = jnp.clip(lg >> 1, 1, tables.MAX_QUANT_LEVELS - 1)
         qv = quality
-        up = jnp.clip(qv + ((index - qv) >> 1), 1, tables.MAX_QUANT_LEVELS - 1)
-        dn = jnp.clip(qv - ((qv - index) >> 1), 1, tables.MAX_QUANT_LEVELS - 1)
+        up = jnp.clip(qv + ((index - qv) >> 1), 1,
+                      tables.MAX_QUANT_LEVELS - 1)
+        dn = jnp.clip(qv - ((qv - index) >> 1), 1,
+                      tables.MAX_QUANT_LEVELS - 1)
         qp = jnp.where(index > qv, up, jnp.where(index < qv, dn, qv))
 
-        # dc_scale LUTs via select ladder on the (P,1) qp
         dcl = jnp.full((p, 128), 8)
         dcc = jnp.full((p, 128), 8)
         for k in range(1, 32):
             dcl = jnp.where(qp == k, dclut_ref[k], dcl)
             dcc = jnp.where(qp == k, dclut_ref[32 + k], dcc)
 
-        # ---- quantize (quantize.cpp:79-163)
-        qp_rows = _expand_rows(qp[:, 0:1], 16)              # (P*16,1)
-        id_rows32 = id_rows
-        qm_i = qm_ref[:, 0:32]
-        qm_e = qm_ref[:, 32:64]
-        qmr_i = qmr_ref[:, 0:32]
-        qmr_e = qmr_ref[:, 32:64]
-        dcl_rows = _expand_rows(dcl[:, 0:1], 16)
-        dcc_rows = _expand_rows(dcc[:, 0:1], 16)
-        dc_scale = jnp.where(li32 < 16, dcl_rows, dcc_rows)
-        dc_rec = 1.0 / dc_scale.astype(jnp.float32)
-        qp2 = qp_rows << 1
-        qp2_rec = 1.0 / qp2.astype(jnp.float32)
-        dcpos = ((ri32 % 8) == 0) & ((li32 % 8) == 0)
+        # ---- quantize + dequantize + inverse transform
+        def quant(t, qm_i, qmr_i, qm_e, qmr_e, qp_rows, dc_rows, dcpos,
+                  id_rows):
+            t16 = t * QSCALE
+            qp2 = qp_rows << 1
+            qp2_rec = 1.0 / qp2.astype(jnp.float32)
+            dc_rec = 1.0 / dc_rows.astype(jnp.float32)
+            qi_ = _wrap16(_rdiv_dyn(_rdiv_dyn(t16, qm_i, qmr_i), qp2,
+                                    qp2_rec))
+            dci = _wrap16(_rdiv_dyn(t, dc_rows, dc_rec))
+            quant_i = jnp.where(dcpos, dci, qi_)
+            qf = _wrap16(_rdiv_dyn(t16, qm_e, qmr_e))
+            quant_e = _wrap16(_rdiv_dyn(qf - jnp.sign(qf) * qp_rows, qp2,
+                                        qp2_rec))
+            return jnp.where(id_rows, quant_i, quant_e)
 
-        t16 = ty * QSCALE
-        qi_ = _rdiv_dyn(_rdiv_dyn(t16, qm_i, qmr_i), qp2, qp2_rec)
-        qi_ = _wrap16(qi_)
-        dci = _wrap16(_rdiv_dyn(ty, dc_scale, dc_rec))
-        quant_i = jnp.where(dcpos, dci, qi_)
-        qf = _wrap16(_rdiv_dyn(t16, qm_e, qmr_e))
-        sgn = jnp.sign(qf)
-        quant_e = _wrap16(_rdiv_dyn(qf - sgn * qp_rows, qp2, qp2_rec))
-        qcoef = jnp.where(id_rows32, quant_i, quant_e)
+        def dequant(qc_, qm_i, qm_e, qp_rows, dc_rows, dcpos, id_rows):
+            deq_i = _wrap16(_trunc_shift(2 * qc_ * qm_i * qp_rows, 4))
+            deq_i = jnp.where(dcpos, _wrap16(qc_ * dc_rows), deq_i)
+            deq_e = _wrap16(_trunc_shift(2 * qc_ * qm_e * qp_rows, 4))
+            return jnp.where(id_rows, deq_i, deq_e)
 
-        # ---- dequantize + inverse transform (reconstruction path)
-        deq_i = _wrap16(_trunc_shift(2 * qcoef * qm_i * qp_rows, 4))
-        deq_i = jnp.where(dcpos, _wrap16(qcoef * dc_scale), deq_i)
-        deq_e = _wrap16(_trunc_shift(2 * qcoef * qm_e * qp_rows, 4))
-        deq = jnp.where(id_rows32, deq_i, deq_e)
-        rec_res = idct_lane(idct_row(deq))
-        copy_rows = _expand_rows(is_copy[:, 0:1], 16) != 0
-        rec = jnp.where(copy_rows, pred, _wrap16(rec_res + pred))
+        qp_y = _expand_rows(qp[:, 0:1], 16)
+        qp_c = _expand_rows(qp[:, 0:1], 8)
+        dcl_y = _expand_rows(dcl[:, 0:1], 16)
+        dcc_c = _expand_rows(dcc[:, 0:1], 8)
+        dcpos_y = ((riy % 8) == 0) & ((liy % 8) == 0)
+        dcpos_c = ((ric % 8) == 0) & ((lic % 8) == 0)
 
-        # ---- outputs
-        desc_o[0, :, 0:1] = is_intra[:, 0:1]
-        desc_o[0, :, 1:2] = is_motion[:, 0:1]
-        desc_o[0, :, 2:3] = is_copy[:, 0:1]
-        desc_o[0, :, 3:4] = target[:, 0:1]
-        desc_o[0, :, 4:5] = mx[:, 0:1]
-        desc_o[0, :, 5:6] = my[:, 0:1]
-        desc_o[0, :, 6:7] = o_sp_en[:, 0:1]
-        desc_o[0, :, 7:8] = o_sp_am[:, 0:1]
-        desc_o[0, :, 8:9] = o_sp_ix[:, 0:1]
-        desc_o[0, :, 9:10] = qp[:, 0:1]
-        desc_o[0, :, 10:11] = var[:, 0:1]
-        desc_o[0, :, 11:12] = valid_v.astype(jnp.int32)[:, 0:1]
-        if stage in (104, 105, 106, 107, 108):
-            ri = stage - 104
-            desc_o[0, :, 12:13] = ring_states[ri][0][:, 0:1]
-            desc_o[0, :, 13:14] = ring_states[ri][1][:, 0:1]
-            desc_o[0, :, 14:15] = ring_states[ri][2][:, 0:1]
-            desc_o[0, :, 15:16] = ring_states[ri][3][:, 0:1]
-        elif stage == 110:
-            sc = jnp.concatenate(
-                [((sp_en[m, 0] * 100 + sp_am[m, 0] * 10 + sp_ix[m, 0])
-                  * jnp.ones((1, 1), jnp.int32)) for m in range(p)], axis=0)
-            desc_o[0, :, 12:13] = sc
-            desc_o[0, :, 13:14] = (sp_en * 100 + sp_am * 10
-                                   + sp_ix)[:, 0:1]
-            desc_o[0, :, 14:16] = jnp.zeros((p, 2), jnp.int32)
-        elif stage == 102:
-            sc_bx = jnp.concatenate(
-                [(bx[m, 0] * jnp.ones((1, 1), jnp.int32)) for m in range(p)],
-                axis=0)
-            sc_by = jnp.concatenate(
-                [(by[m, 0] * jnp.ones((1, 1), jnp.int32)) for m in range(p)],
-                axis=0)
-            desc_o[0, :, 12:13] = sc_bx
-            desc_o[0, :, 13:14] = sc_by
-            desc_o[0, :, 14:16] = jnp.zeros((p, 2), jnp.int32)
-        else:
-            desc_o[0, :, 12:16] = jnp.zeros((p, 4), jnp.int32)
-        if stage in (89, 90, 91, 94, 95):   # watchpoint dump
-            coef_o[0] = jnp.concatenate(
-                [_wrap16(dbg[:, 0:32]),
-                 jnp.zeros((py16 - 16, 32), jnp.int32)],
-                axis=0).astype(jnp.int16)
-        elif stage in (8, 81, 82, 92, 93):  # debug: dump pred/windows
-            coef_o[0] = _wrap16(pred).astype(jnp.int16)
-        else:
-            coef_o[0] = qcoef.astype(jnp.int16)
+        qy = quant(ty, qmy_ref[:, 0:16], qmry_ref[:, 0:16],
+                   qmy_ref[:, 16:32], qmry_ref[:, 16:32],
+                   qp_y, dcl_y, dcpos_y, id_y)
+        qc = quant(tc, qmc_ref[:, 0:16], qmrc_ref[:, 0:16],
+                   qmc_ref[:, 16:32], qmrc_ref[:, 16:32],
+                   qp_c, dcc_c, dcpos_c, id_c)
+        deq_y = dequant(qy, qmy_ref[:, 0:16], qmy_ref[:, 16:32],
+                        qp_y, dcl_y, dcpos_y, id_y)
+        deq_c = dequant(qc, qmc_ref[:, 0:16], qmc_ref[:, 16:32],
+                        qp_c, dcc_c, dcpos_c, id_c)
+        rr_y = idct_lane(idct_row(deq_y, wrow_ref))
+        rr_c = idct_lane(idct_row(deq_c, wrowc_ref))
+        copy_y = _expand_rows(is_copy[:, 0:1], 16) != 0
+        copy_c = _expand_rows(is_copy[:, 0:1], 8) != 0
+        rec_y = jnp.where(copy_y, pred_y, _wrap16(rr_y + pred_y))
+        rec_c = jnp.where(copy_c, pred_c, _wrap16(rr_c + pred_c))
 
-        if stage <= 7:
-            return
-
-        if stage == 83:    # debug: dump recon blocks through coef_o
-            coef_o[0] = _wrap16(rec).astype(jnp.int16)
-        if stage == 84:    # debug: dump idct output
-            coef_o[0] = _wrap16(rec_res).astype(jnp.int16)
-        if stage == 85:    # debug: dump dequant output
-            coef_o[0] = _wrap16(deq).astype(jnp.int16)
-
-        # ---- stash this wave's recon blocks; the NEXT grid step flushes
-        # them into the pads before its reads (deferred-store, see above)
+        # ---- outputs + stash for the next step's flush
         @pl.when(w < n_waves)
         def _():
-            stash[...] = rec
+            desc_o[0, :, 0:1] = is_intra[:, 0:1]
+            desc_o[0, :, 1:2] = is_motion[:, 0:1]
+            desc_o[0, :, 2:3] = is_copy[:, 0:1]
+            desc_o[0, :, 3:4] = target[:, 0:1]
+            desc_o[0, :, 4:5] = mx[:, 0:1]
+            desc_o[0, :, 5:6] = my[:, 0:1]
+            desc_o[0, :, 6:7] = o_sp_en[:, 0:1]
+            desc_o[0, :, 7:8] = o_sp_am[:, 0:1]
+            desc_o[0, :, 8:9] = o_sp_ix[:, 0:1]
+            desc_o[0, :, 9:10] = qp[:, 0:1]
+            desc_o[0, :, 10:11] = var[:, 0:1]
+            desc_o[0, :, 11:12] = valid_v.astype(jnp.int32)[:, 0:1]
+            if os.environ.get("CAIRO_WAVE_DUMP") == "geom":
+                desc_o[0, :, 12:13] = px_v[:, 0:1]
+                desc_o[0, :, 13:14] = py_v[:, 0:1]
+                desc_o[0, :, 14:15] = valid_v.astype(jnp.int32)[:, 0:1]
+                desc_o[0, :, 15:16] = causal_ok(
+                    zero_p + 16, zero_p - 16).astype(jnp.int32)[:, 0:1]
+            elif os.environ.get("CAIRO_WAVE_CANDDUMP"):
+                desc_o[0, :, 12:13] = rdump[0][:, 0:1]
+                desc_o[0, :, 13:14] = rdump[1][:, 0:1]
+                desc_o[0, :, 14:15] = rdump[2][:, 0:1]
+                desc_o[0, :, 15:16] = rdump[3][:, 0:1]
+            elif os.environ.get("CAIRO_WAVE_RINGDUMP"):
+                desc_o[0, :, 12:13] = rdump[0][:, 0:1]
+                desc_o[0, :, 13:14] = rdump[1][:, 0:1]
+                desc_o[0, :, 14:15] = rdump[2][:, 0:1]
+                desc_o[0, :, 15:16] = rdump[3][:, 0:1]
+            else:
+                desc_o[0, :, 12:16] = jnp.zeros((p, 4), jnp.int32)
+            if os.environ.get("CAIRO_WAVE_DUMP") == "strip":
+                coefy_o[0] = _wrap16(
+                    pltpu.roll(ystr[py16:2 * py16], 96, 1)[:, 0:16]
+                ).astype(jnp.int16)
+                coefc_o[0] = qc.astype(jnp.int16)
+            elif os.environ.get("CAIRO_WAVE_DUMP") == "slab":
+                # re-load the subpel mid slab for each member from SMEM
+                # state and dump its first 16 rows at the strip alignment
+                for m in range(p):
+                    bj_s = jnp.clip(bj0 + m, 0, hb - 1)
+                    bi_s = jnp.clip(w - SKEW * bj_s, 0, wb - 1)
+                    px_s = bi_s * mb
+                    py_s = bj_s * mb
+                    row = py_s + sm_state[1, m] + YP
+                    lane0 = px_s + sm_state[0, m] + (Y_L0 - 32)
+                    al = pl.multiple_of((row >> 3) << 3, 8)
+                    tile = pl.multiple_of((lane0 >> 7) << 7, 128)
+                    sl = pady[pl.ds(al, 24), pl.ds(tile, 256)]
+                    sl = pltpu.roll(sl,
+                                    (256 - (lane0 + 32 - tile)) % 256, 1)
+                    coefy_o[0, 16 * m:16 * m + 16, :] =                         _wrap16(sl[0:16, 0:16]).astype(jnp.int16)
+                coefc_o[0] = qc.astype(jnp.int16)
+            elif os.environ.get("CAIRO_WAVE_DUMP") == "pb":
+                coefy_o[0] = _wrap16(pb[:, 0:16]).astype(jnp.int16)
+                coefc_o[0] = qc.astype(jnp.int16)
+            elif os.environ.get("CAIRO_WAVE_DUMP") == "predyi":
+                coefy_o[0] = _wrap16(pred_y_i).astype(jnp.int16)
+                coefc_o[0] = qc.astype(jnp.int16)
+            elif os.environ.get("CAIRO_WAVE_DUMP") == "pred":
+                coefy_o[0] = _wrap16(pred_y).astype(jnp.int16)
+                coefc_o[0] = _wrap16(pred_c).astype(jnp.int16)
+            elif os.environ.get("CAIRO_WAVE_DUMP") == "ty":
+                coefy_o[0] = ty.astype(jnp.int16)
+                coefc_o[0] = tc.astype(jnp.int16)
+            else:
+                coefy_o[0] = qy.astype(jnp.int16)
+                coefc_o[0] = qc.astype(jnp.int16)
+            stash_y[...] = rec_y
+            stash_c[...] = rec_c
+
+        @pl.when(w < n_waves)
+        def _():
+            pltpu.semaphore_signal(ssem, 1)
 
         @pl.when(w == n_waves)
         def _():
@@ -1102,22 +1036,7 @@ def _schedule_np(aligned_w: int, aligned_h: int):
     return m_t, valid_t
 
 
-def vmem_estimate(aligned_w: int, aligned_h: int) -> int:
-    """Rough VMEM footprint of the kernel (pads + strips + consts), bytes."""
-    (ry, ly), (rc, lc) = plane_pads(aligned_w, aligned_h)
-    _, _, _, p = geometry(aligned_w, aligned_h)
-    pads = 4 * (ry * ly + 2 * rc * lc)
-    strips = 4 * (3 * p * 16 * 128 + 2 * 3 * p * 8 * 128 + p * 16 * 32)
-    return pads + strips + (1 << 20)
-
-
-def supported(aligned_w: int, aligned_h: int, budget=40 * 1024 * 1024):
-    _, _, _, p = geometry(aligned_w, aligned_h)
-    return p <= 128 and vmem_estimate(aligned_w, aligned_h) <= budget
-
-
 def _to_wave_major(blocks, m_t):
-    """(n, b, b) blocks -> (n_waves, P, b, b) by the static schedule."""
     n_waves, p = m_t.shape
     return jnp.take(blocks, jnp.asarray(m_t).reshape(-1), axis=0) \
         .reshape(n_waves, p, blocks.shape[1], blocks.shape[2])
@@ -1128,12 +1047,8 @@ def wave_pass(src_blocks, self_sad_all, inter_best, inter_pred,
               aligned_w, aligned_h, is_inter):
     """Runs the full wave pass (search + encode + reconstruct) on device.
 
-    src_blocks: (Y (n,16,16), U (n,8,8), V (n,8,8)) int32 source blocks;
-    inter_best/inter_pred: _dense_inter outputs (None on intra frames);
-    cur_*: the current ring slot's stale planes (int32).
-    Returns (rec_y, rec_u, rec_v, desc dict of (n,) fields incl. 'valid',
-    (coef_y_blocks, coef_u_blocks, coef_v_blocks)) — raw per-block outputs;
-    the caller applies copy-carry and deblock."""
+    Returns (rec_y, rec_u, rec_v, desc dict of (n,) int32 fields,
+    (coef_y_blocks, coef_u_blocks, coef_v_blocks))."""
     wb, hb, n_waves, p = geometry(aligned_w, aligned_h)
     (ry, ly), (rc, lc) = plane_pads(aligned_w, aligned_h)
     m_t, valid_t = _schedule_np(aligned_w, aligned_h)
@@ -1141,13 +1056,10 @@ def wave_pass(src_blocks, self_sad_all, inter_best, inter_pred,
     py16, pc8 = p * 16, p * 8
 
     # ---- prologue: wave-major packing
-    y_wm = _to_wave_major(src_blocks[0], m_t)        # (W, P, 16, 16)
-    u_wm = _to_wave_major(src_blocks[1], m_t)        # (W, P, 8, 8)
+    y_wm = _to_wave_major(src_blocks[0], m_t)
+    u_wm = _to_wave_major(src_blocks[1], m_t)
     v_wm = _to_wave_major(src_blocks[2], m_t)
-    u16 = jnp.pad(u_wm, ((0, 0), (0, 0), (0, 8), (0, 0)))
-    v16 = jnp.pad(v_wm, ((0, 0), (0, 0), (0, 8), (0, 0)))
-    srcy = jnp.concatenate([y_wm, u16, v16], axis=3) \
-        .reshape(n_waves, py16, 32).astype(jnp.int16)
+    srcy = y_wm.reshape(n_waves, py16, 16).astype(jnp.int16)
     srcc = jnp.concatenate([u_wm, v_wm], axis=3) \
         .reshape(n_waves, pc8, 16).astype(jnp.int16)
 
@@ -1165,16 +1077,16 @@ def wave_pass(src_blocks, self_sad_all, inter_best, inter_pred,
             gi(inter_best["is_motion"].astype(jnp.int32)),
             gi(inter_best["target"]), gi(inter_best["motion_x"]),
             gi(inter_best["motion_y"]), gi(sp_pack)], axis=2)
-        py_wm = _to_wave_major(inter_pred[0], m_t)
-        pu_wm = jnp.pad(_to_wave_major(inter_pred[1], m_t),
-                        ((0, 0), (0, 0), (0, 8), (0, 0)))
-        pv_wm = jnp.pad(_to_wave_major(inter_pred[2], m_t),
-                        ((0, 0), (0, 0), (0, 8), (0, 0)))
-        pred_in = jnp.concatenate([py_wm, pu_wm, pv_wm], axis=3) \
-            .reshape(n_waves, py16, 32).astype(jnp.int16)
+        predy = _to_wave_major(inter_pred[0], m_t) \
+            .reshape(n_waves, py16, 16).astype(jnp.int16)
+        predc = jnp.concatenate(
+            [_to_wave_major(inter_pred[1], m_t),
+             _to_wave_major(inter_pred[2], m_t)], axis=3) \
+            .reshape(n_waves, pc8, 16).astype(jnp.int16)
     else:
         desc_in = jnp.stack([sehf] + [jnp.zeros_like(sehf)] * 7, axis=2)
-        pred_in = srcy  # never selected (take == 0 on intra frames)
+        predy = srcy      # never selected on intra frames (take == 0)
+        predc = srcc
 
     pady_in = jnp.pad(cur_y.astype(jnp.int32),
                       ((YP, ry - aligned_h - YP),
@@ -1191,44 +1103,44 @@ def wave_pass(src_blocks, self_sad_all, inter_best, inter_pred,
                         jnp.int32(0), jnp.int32(0)])
 
     consts = _consts(p)
-    import os as _os
-    _stage = int(_os.environ.get("CAIRO_WAVE_STAGE", "99"))
     kern = _build_wave_kernel(aligned_w, aligned_h, p, wb, hb, n_waves,
-                              is_inter, stage=_stage)
+                              is_inter)
 
     def _wix(w, *_):
         return (jnp.minimum(w, n_waves - 1), 0, 0)
+
+    def _cix(w, *_):
+        return (0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_waves + 1,),
         in_specs=[
-            pl.BlockSpec((1, py16, 32), _wix,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pc8, 16), _wix,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, py16, 32), _wix,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, 8), _wix,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((py16, 48), lambda w, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((48, 32), lambda w, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((py16, 64), lambda w, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((py16, 64), lambda w, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, py16, 16), _wix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pc8, 16), _wix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, py16, 16), _wix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pc8, 16), _wix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 8), _wix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((py16, 48), _cix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((pc8, 48), _cix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((48, 16), _cix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((py16, 32), _cix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((py16, 32), _cix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((pc8, 32), _cix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((pc8, 32), _cix, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((p, 128), _cix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, py16), _cix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, py16), _cix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, pc8), _cix, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, p, 16), _wix,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, py16, 32), _wix,
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 16), _wix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, py16, 16), _wix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pc8, 16), _wix, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -1240,36 +1152,38 @@ def wave_pass(src_blocks, self_sad_all, inter_best, inter_pred,
             pltpu.VMEM((3 * py16, 128), jnp.int32),
             pltpu.VMEM((3 * pc8, 128), jnp.int32),
             pltpu.VMEM((3 * pc8, 128), jnp.int32),
-            pltpu.VMEM((py16, 128), jnp.int32),
-            pltpu.VMEM((py16, 32), jnp.int32),
+            pltpu.VMEM((py16, 16), jnp.int32),
+            pltpu.VMEM((pc8, 16), jnp.int32),
             pltpu.VMEM((py16, 128), jnp.int32),
             pltpu.VMEM((pc8, 128), jnp.int32),
             pltpu.VMEM((pc8, 128), jnp.int32),
+            pltpu.SMEM((2, p), jnp.int32),
             pltpu.SemaphoreType.DMA((6,)),
             pltpu.SemaphoreType.DMA((3, p)),
+            pltpu.SemaphoreType.REGULAR,
         ],
     )
-    _interp = _os.environ.get("CAIRO_WAVE_INTERPRET") == "1"
-    desc_o, coef_o, pady_o, padu_o, padv_o = pl.pallas_call(
+    interp = os.environ.get("CAIRO_WAVE_INTERPRET") == "1"
+    desc_o, coefy_o, coefc_o, pady_o, padu_o, padv_o = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        interpret=_interp,
+        interpret=interp,
         out_shape=[
             jax.ShapeDtypeStruct((n_waves, p, 16), jnp.int32),
-            jax.ShapeDtypeStruct((n_waves, py16, 32), jnp.int16),
+            jax.ShapeDtypeStruct((n_waves, py16, 16), jnp.int16),
+            jax.ShapeDtypeStruct((n_waves, pc8, 16), jnp.int16),
             jax.ShapeDtypeStruct((ry, ly), jnp.int32),
             jax.ShapeDtypeStruct((rc, lc), jnp.int32),
             jax.ShapeDtypeStruct((rc, lc), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
-            # the wave axis is SEQUENTIAL: wave w+1 reads wave w's recon
-            # writes from the VMEM pads; "arbitrary" stops Mosaic from
-            # pipelining/reordering grid iterations around them
             dimension_semantics=("arbitrary",)),
-    )(params, srcy, srcc, pred_in, desc_in, consts["wrow"], consts["wlane"],
-      consts["qm"], consts["qmr"], consts["dclut"],
-      pady_in, padu_in, padv_in)
+    )(params, srcy, srcc, predy, predc, desc_in,
+      consts["wrow"], consts["wrowc"], consts["wlane"],
+      consts["qm_y"], consts["qmr_y"], consts["qm_c"], consts["qmr_c"],
+      consts["dclut"], consts["mi"], consts["ones16"], consts["sel16"],
+      consts["sel8"], pady_in, padu_in, padv_in)
 
     # ---- epilogue: scatter wave-major outputs back to raster block order
     m_flat = jnp.asarray(m_t).reshape(-1)
@@ -1277,8 +1191,8 @@ def wave_pass(src_blocks, self_sad_all, inter_best, inter_pred,
     idx = jnp.where(valid_flat, m_flat, n)
     dv = desc_o.reshape(-1, 16)
 
-    def scat(col):
-        return jnp.zeros(n, jnp.int32).at[idx].set(dv[:, col], mode="drop")
+    def scat(c):
+        return jnp.zeros(n, jnp.int32).at[idx].set(dv[:, c], mode="drop")
 
     desc = dict(is_intra=scat(0), is_motion=scat(1), is_copy=scat(2),
                 target=scat(3), motion_x=scat(4), motion_y=scat(5),
@@ -1287,18 +1201,15 @@ def wave_pass(src_blocks, self_sad_all, inter_best, inter_pred,
                 dbg_a=scat(12), dbg_b=scat(13), dbg_c=scat(14),
                 dbg_d=scat(15))
 
-    cf = coef_o.reshape(n_waves * p, 16, 32)
-    cy = jnp.zeros((n, 16, 16), jnp.int16).at[idx].set(
-        cf[:, :, 0:16], mode="drop")
+    cfy = coefy_o.reshape(n_waves * p, 16, 16)
+    cfc = coefc_o.reshape(n_waves * p, 8, 16)
+    cy = jnp.zeros((n, 16, 16), jnp.int16).at[idx].set(cfy, mode="drop")
     cu = jnp.zeros((n, 8, 8), jnp.int16).at[idx].set(
-        cf[:, 0:8, 16:24], mode="drop")
+        cfc[:, :, 0:8], mode="drop")
     cv = jnp.zeros((n, 8, 8), jnp.int16).at[idx].set(
-        cf[:, 0:8, 24:32], mode="drop")
+        cfc[:, :, 8:16], mode="drop")
 
-    rec_y = pady_o[YP:YP + aligned_h,
-                   Y_L0:Y_L0 + aligned_w].astype(jnp.int32)
-    rec_u = padu_o[CP:CP + aligned_h // 2,
-                   C_L0:C_L0 + aligned_w // 2].astype(jnp.int32)
-    rec_v = padv_o[CP:CP + aligned_h // 2,
-                   C_L0:C_L0 + aligned_w // 2].astype(jnp.int32)
+    rec_y = pady_o[YP:YP + aligned_h, Y_L0:Y_L0 + aligned_w]
+    rec_u = padu_o[CP:CP + aligned_h // 2, C_L0:C_L0 + aligned_w // 2]
+    rec_v = padv_o[CP:CP + aligned_h // 2, C_L0:C_L0 + aligned_w // 2]
     return rec_y, rec_u, rec_v, desc, (cy, cu, cv)
