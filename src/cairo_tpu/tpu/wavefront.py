@@ -102,9 +102,18 @@ def _dense_inter(src_blocks, src_planes, state, frame_index, quality, n_refs):
                     is_intra=jnp.zeros(n, bool))
         best = cand if best is None else _merge_descs(best, cand)
 
-    # prediction blocks for the folded winner (window extraction + sub-pel):
-    # build windows per slot and select per MB (mirrors engine._gather_pred
-    # but with the wider exact-search windows)
+    # prediction blocks for the folded winner (window extraction + sub-pel).
+    # On TPU the Pallas prediction-gather kernels resolve the per-MB
+    # (slot, mv, sub-pel) addressing straight from the ring planes —
+    # the XLA window assembly below costs ~300 ms/frame at 1080p.
+    from . import backend as backend_mod
+    if backend_mod.use_pallas():
+        pred = _wide_gather_pred(
+            state, frame_index, best["target"], best["motion_x"],
+            best["motion_y"], best["sp_pred"], best["sp_amount"],
+            best["sp_index"], jnp.zeros(n, bool))
+        return best, pred
+
     slot_per_mb = (frame_index + RING - best["target"]) % RING
     wins = None
     for s in range(RING):
