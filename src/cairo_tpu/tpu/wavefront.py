@@ -90,17 +90,28 @@ def _dense_inter(src_blocks, src_planes, state, frame_index, quality, n_refs):
     px = (idx % wb) * MB
     py = (idx // wb) * MB
 
-    best = None
-    for offset in range(1, n_refs):
-        slot = (frame_index + RING - offset) % RING
-        ref = tuple(
-            jax.lax.dynamic_index_in_dim(state[k], slot, keepdims=False)
-            .astype(jnp.int32)
-            for k in ("ring_y", "ring_u", "ring_v"))
-        cand = motion_mod.inter_search_exact(src_blocks, ref, px, py, quality)
-        cand = dict(cand, target=jnp.full(n, offset, jnp.int32),
-                    is_intra=jnp.zeros(n, bool))
-        best = cand if best is None else _merge_descs(best, cand)
+    from . import backend as backend_mod2
+    from . import pallas_inter
+    refs = [tuple(
+        jax.lax.dynamic_index_in_dim(
+            state[k], (frame_index + RING - offset) % RING,
+            keepdims=False).astype(jnp.int32)
+        for k in ("ring_y", "ring_u", "ring_v"))
+        for offset in range(1, n_refs)]
+    if backend_mod2.use_pallas() and             pallas_inter.supported(aligned_w, aligned_h, n_refs - 1):
+        # the whole exact search + classify merge runs as one Mosaic
+        # kernel (the XLA replay below costs ~250 ms/frame at 1080p)
+        best = pallas_inter.inter_search(
+            src_blocks, refs, quality,
+            aligned_w=aligned_w, aligned_h=aligned_h)
+    else:
+        best = None
+        for offset, ref in zip(range(1, n_refs), refs):
+            cand = motion_mod.inter_search_exact(src_blocks, ref, px, py,
+                                                 quality)
+            cand = dict(cand, target=jnp.full(n, offset, jnp.int32),
+                        is_intra=jnp.zeros(n, bool))
+            best = cand if best is None else _merge_descs(best, cand)
 
     # prediction blocks for the folded winner (window extraction + sub-pel).
     # On TPU the Pallas prediction-gather kernels resolve the per-MB
