@@ -205,27 +205,42 @@ class TpuEncoder:
 
     def encode_many(self, frames):
         """Pipelined encode: device computes frame N+1 while a worker
-        thread fetches + entropy-codes frame N (the fetch and the C++ coder
-        release the GIL, so the host conversion of N+1 runs in parallel).
-        Yields one byte chunk per input frame.
-
-        Note: an attempt to also prefetch the RGB->YUV conversion on a
-        second worker was benchmarked and reverted — without reading the
-        iterator ahead, the conversion can only overlap the previous
-        frame's finish if the DISPATCH waits behind it, and the resulting
-        device idle bubble (~30 ms/frame) costs more than the ~20 ms
-        conversion it hides (1080p: 84 -> 163 ms/frame measured)."""
+        thread fetches + entropy-codes frame N, and a ONE-FRAME iterator
+        lookahead converts frame N+1's RGB->YUV on a second worker so the
+        dispatch never waits behind the host conversion (both the fetch
+        and the native converter release the GIL). Yields one byte chunk
+        per input frame."""
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(1) as pool:
-            fut = None
-            for rgb in frames:
-                nxt = self._dispatch(rgb)
-                if fut is not None:
-                    yield fut.result()
-                fut = pool.submit(self._finish, nxt)
-            if fut is not None:
-                yield fut.result()
+        it = iter(frames)
+        with ThreadPoolExecutor(2) as pool:
+            fin = None
+            pre = None            # (future, frame_index, quality)
+            cur = next(it, None)
+            while cur is not None:
+                wire = None
+                if pre is not None:
+                    fut, exp_index, exp_q = pre
+                    w = fut.result()
+                    # a set_quality between yields invalidates the header
+                    if exp_index == self.frame_index and \
+                            exp_q == self.quality:
+                        wire = w
+                    pre = None
+                pending = self._dispatch(cur, src_wire=wire)
+                cur = next(it, None)
+                if cur is not None and self._state is not None:
+                    # self.frame_index was advanced by _dispatch: it is
+                    # the NEXT frame's index
+                    pre = (pool.submit(native.rgb_to_yuv8, cur, self._aw,
+                                       self._ah, self.frame_index,
+                                       self.quality),
+                           self.frame_index, self.quality)
+                if fin is not None:
+                    yield fin.result()
+                fin = pool.submit(self._finish, pending)
+            if fin is not None:
+                yield fin.result()
 
     # -- debug/peek views (evx1enc.cpp:170-305 parity) ---------------------
 
@@ -323,7 +338,7 @@ class ConformanceTpuEncoder:
     def insert_intra(self):
         self.frame_type = FRAME_INTRA
 
-    def encode(self, rgb: np.ndarray) -> bytes:
+    def _dispatch(self, rgb, src_wire=None):
         height, width = rgb.shape[:2]
         header = b""
         if self._state is None:
@@ -335,15 +350,29 @@ class ConformanceTpuEncoder:
             raise ValueError("frame dimensions changed mid-stream")
         frame_desc = struct.pack(_FRAME_FMT, self.frame_type,
                                  self.frame_index, self.quality)
-        src_wire = native.rgb_to_yuv8(rgb, self._aw, self._ah,
-                                     self.frame_index, self.quality)
+        if src_wire is None:
+            src_wire = native.rgb_to_yuv8(rgb, self._aw, self._ah,
+                                          self.frame_index, self.quality)
         with jax.profiler.TraceAnnotation("cairo_tpu.wavefront_encode"):
             self._state, out = self._wavefront.conformance_encode_step(
                 src_wire, self._state, aligned_w=self._aw,
                 aligned_h=self._ah, frame_w=self.width,
                 frame_h=self.height,
                 is_inter=self.frame_type == FRAME_INTER)
-        out = jax.device_get(out)
+        for v in out.values():
+            v.copy_to_host_async()
+        pending = dict(header=header, frame_desc=frame_desc, out=out,
+                       frame_index=self.frame_index,
+                       frame_type=self.frame_type, quality=self.quality)
+        self.frame_type = FRAME_INTER
+        if tables.PERIODIC_INTRA_RATE and \
+                (self.frame_index + 1) % tables.PERIODIC_INTRA_RATE == 0:
+            self.insert_intra()
+        self.frame_index += 1
+        return pending
+
+    def _finish(self, pending) -> bytes:
+        out = jax.device_get(pending["out"])
         bt = BlockTable(
             block_type=out["block_type"],
             prediction_target=out["prediction_target"],
@@ -353,16 +382,49 @@ class ConformanceTpuEncoder:
             variance=out["variance"])
         slice_bytes, _ = native.encode_slice(
             bt, out["coef_y"], out["coef_u"], out["coef_v"])
-        chunk = header + frame_desc + slice_bytes
+        chunk = pending["header"] + pending["frame_desc"] + slice_bytes
         self.last_stats = metrics.frame_stats(
-            self.frame_index, self.frame_type, self.quality, len(chunk),
-            out["block_type"], out["q_index"])
-        self.frame_type = FRAME_INTER
-        if tables.PERIODIC_INTRA_RATE and \
-                (self.frame_index + 1) % tables.PERIODIC_INTRA_RATE == 0:
-            self.insert_intra()
-        self.frame_index += 1
+            pending["frame_index"], pending["frame_type"],
+            pending["quality"], len(chunk), out["block_type"],
+            out["q_index"])
         return chunk
+
+    def encode(self, rgb: np.ndarray) -> bytes:
+        return self._finish(self._dispatch(rgb))
+
+    def encode_many(self, frames):
+        """Pipelined conformance encode: device wave pass of frame N+1
+        overlaps frame N's output fetch + host entropy coding, with a
+        one-frame RGB->YUV conversion lookahead (same scheme as
+        TpuEncoder.encode_many)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        it = iter(frames)
+        with ThreadPoolExecutor(2) as pool:
+            fin = None
+            pre = None
+            cur = next(it, None)
+            while cur is not None:
+                wire = None
+                if pre is not None:
+                    fut, exp_index, exp_q = pre
+                    w = fut.result()
+                    if exp_index == self.frame_index and \
+                            exp_q == self.quality:
+                        wire = w
+                    pre = None
+                pending = self._dispatch(cur, src_wire=wire)
+                cur = next(it, None)
+                if cur is not None and self._state is not None:
+                    pre = (pool.submit(native.rgb_to_yuv8, cur, self._aw,
+                                       self._ah, self.frame_index,
+                                       self.quality),
+                           self.frame_index, self.quality)
+                if fin is not None:
+                    yield fin.result()
+                fin = pool.submit(self._finish, pending)
+            if fin is not None:
+                yield fin.result()
 
     # -- checkpoint / resume (cairo_tpu.checkpoint) ------------------------
 
