@@ -571,10 +571,32 @@ class TpuDecoder:
                         ring=self._ring_slot_refs(index),
                         t0=t0, t_ent=t_ent, t_dispatch=time.perf_counter())
         if needs_wave:
-            # COO overflow on a wave-path frame: the dense device path
-            # cannot replay raster causality (nor wide motion) — take the
-            # validating native decoder
-            return dict(kind="host", rgb=self._decode_sequential(index))
+            # COO overflow on a wave-path frame: ship the DENSE coefficient
+            # planes and decode on the device wave path anyway — every
+            # conformant stream (down to q=1 intra refreshes) stays at
+            # device speed, matching decode.cpp:146-170's universality.
+            # The plane COPIES guard against decode_many's next-frame
+            # parser mutating the persistent buffers mid-read.
+            from . import wavefront
+            wb, hb = self._aw // MB, self._ah // MB
+            bi, bj, n_active = wavefront.build_compact_schedule(
+                bt_type, wb, hb)
+            in_wire = np.concatenate([
+                np.array([index, n_active], np.int32).view(np.uint8),
+                wire_mod.pack_table_np(self._bt),
+                bi.view(np.uint8).reshape(-1),
+                bj.view(np.uint8).reshape(-1)])
+            with jax.profiler.TraceAnnotation("cairo_tpu.wavefront_dense"):
+                self._state, yuv = wavefront.conformance_decode_step_dense(
+                    in_wire, self._coef_y.copy(), self._coef_u.copy(),
+                    self._coef_v.copy(), self._state,
+                    aligned_w=self._aw, aligned_h=self._ah,
+                    frame_w=self.width, frame_h=self.height,
+                    deblock=self.config.enable_deblocking)
+            yuv.copy_to_host_async()
+            return dict(kind="wire", yuv=yuv, index=index,
+                        ring=self._ring_slot_refs(index),
+                        t0=t0, t_ent=t_ent, t_dispatch=time.perf_counter())
         # dense fallback (residual volume beyond COO capacity). The
         # arguments are COPIES: the CPU backend zero-copy aliases numpy
         # inputs into the jit, and under decode_many the NEXT frame's

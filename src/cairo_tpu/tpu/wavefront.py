@@ -801,8 +801,6 @@ def conformance_decode_step(in_wire, state, *, aligned_w, aligned_h,
     in_wire: 8-byte [frame_index, n_active] header + residual COO +
     packed block table + compacted schedule (bi, bj int16). Returns
     (new_state, yuv wire) like engine.decode_step_coo."""
-    from ..blocktypes import COPY_BIT as _COPY
-
     wb, hb = aligned_w // MB, aligned_h // MB
     n = wb * hb
     n_waves, p = decode_schedule(wb, hb)
@@ -824,6 +822,63 @@ def conformance_decode_step(in_wire, state, *, aligned_w, aligned_h,
     bj_t = jax.lax.bitcast_convert_type(
         body[o:o + 2 * n_waves * p].reshape(n_waves, p, 2), jnp.int16)
 
+    ys = aligned_h * aligned_w
+    cs = (aligned_h // 2) * (aligned_w // 2)
+    flat = jnp.zeros(ys + 2 * cs, jnp.int32).at[coo_pos].add(
+        coo_val.astype(jnp.int32), mode="drop")
+    new_coef = (flat[:ys].reshape(aligned_h, aligned_w),
+                flat[ys:ys + cs].reshape(aligned_h // 2, aligned_w // 2),
+                flat[ys + cs:].reshape(aligned_h // 2, aligned_w // 2))
+    return _conformance_decode_core(
+        frame_index, n_active, table, bi_t, bj_t, new_coef, state,
+        aligned_w=aligned_w, aligned_h=aligned_h, frame_w=frame_w,
+        frame_h=frame_h, deblock=deblock)
+
+
+@functools.partial(jax.jit, static_argnames=("aligned_w", "aligned_h",
+                                             "frame_w", "frame_h",
+                                             "deblock"),
+                   donate_argnums=(4,))
+def conformance_decode_step_dense(in_wire, cy_in, cu_in, cv_in, state, *,
+                                  aligned_w, aligned_h, frame_w=None,
+                                  frame_h=None, deblock=True):
+    """COO-overflow variant: residual coefficients arrive as DENSE int16
+    planes (cy/cu/cv) instead of the COO wire, so heavy reference-origin
+    streams (e.g. 1080p intra frames at q<=4, ~500k+ nonzeros) still
+    decode on the device wave path instead of dropping to the sequential
+    native decoder (decode.cpp:146-170 handles every conformant stream at
+    full speed; so must we). in_wire: 8-byte header + packed table +
+    compacted schedule."""
+    wb, hb = aligned_w // MB, aligned_h // MB
+    n = wb * hb
+    n_waves, p = decode_schedule(wb, hb)
+
+    hdr = jax.lax.bitcast_convert_type(in_wire[:8].reshape(2, 4), jnp.int32)
+    frame_index, n_active = hdr[0], hdr[1]
+    body = in_wire[8:]
+    table = wire_mod.unpack_table_wire(body[:10 * n], n)
+    o = 10 * n
+    bi_t = jax.lax.bitcast_convert_type(
+        body[o:o + 2 * n_waves * p].reshape(n_waves, p, 2), jnp.int16)
+    o += 2 * n_waves * p
+    bj_t = jax.lax.bitcast_convert_type(
+        body[o:o + 2 * n_waves * p].reshape(n_waves, p, 2), jnp.int16)
+    new_coef = (cy_in.astype(jnp.int32), cu_in.astype(jnp.int32),
+                cv_in.astype(jnp.int32))
+    return _conformance_decode_core(
+        frame_index, n_active, table, bi_t, bj_t, new_coef, state,
+        aligned_w=aligned_w, aligned_h=aligned_h, frame_w=frame_w,
+        frame_h=frame_h, deblock=deblock)
+
+
+def _conformance_decode_core(frame_index, n_active, table, bi_t, bj_t,
+                             new_coef, state, *, aligned_w, aligned_h,
+                             frame_w, frame_h, deblock):
+    from ..blocktypes import COPY_BIT as _COPY
+
+    wb, hb = aligned_w // MB, aligned_h // MB
+    n_waves, p = decode_schedule(wb, hb)
+
     block_type = table["block_type"].astype(jnp.int32)
     is_intra = (block_type & INTRA_BIT) != 0
     is_motion = (block_type & MOTION_BIT) != 0
@@ -832,21 +887,15 @@ def conformance_decode_step(in_wire, state, *, aligned_w, aligned_h,
     intra_default = is_intra & ~is_motion
 
     # --- persistent coefficient planes (stale carry on copy blocks)
-    ys = aligned_h * aligned_w
-    cs = (aligned_h // 2) * (aligned_w // 2)
-    flat = jnp.zeros(ys + 2 * cs, jnp.int32).at[coo_pos].add(
-        coo_val.astype(jnp.int32), mode="drop")
     copy_map = is_copy.reshape(hb, wb)
     ymask = jnp.repeat(jnp.repeat(copy_map, MB, axis=0), MB, axis=1)
     cmask = ymask[::2, ::2]
     coef_y = jnp.where(ymask, state["coef_y"].astype(jnp.int32),
-                       flat[:ys].reshape(aligned_h, aligned_w))
+                       new_coef[0])
     coef_u = jnp.where(cmask, state["coef_u"].astype(jnp.int32),
-                       flat[ys:ys + cs].reshape(aligned_h // 2,
-                                                aligned_w // 2))
+                       new_coef[1])
     coef_v = jnp.where(cmask, state["coef_v"].astype(jnp.int32),
-                       flat[ys + cs:].reshape(aligned_h // 2,
-                                              aligned_w // 2))
+                       new_coef[2])
 
     # --- dense residual reconstruction for ALL blocks (IDCT of dequant)
     qp = table["q_index"].astype(jnp.int32)

@@ -158,3 +158,28 @@ def test_below_left_stale_intra_motion_read():
         g = tpu.decode(c)
         np.testing.assert_array_equal(g, a, err_msg=f"frame {t}")
     assert tpu._native is None
+
+
+def test_wavefront_decode_dense_on_coo_overflow(monkeypatch):
+    """Streams whose residual volume exceeds the COO head must STILL decode
+    on the device wave path via the dense-coefficient upload
+    (conformance_decode_step_dense) — the reference decoder handles every
+    conformant stream at full speed (decode.cpp:146-170), so no legal
+    quality may drop to the sequential native fallback. The COO capacity is
+    shrunk to force the overflow branch on a small stream."""
+    from cairo_tpu.tpu import wire as wire_mod
+
+    monkeypatch.setattr(wire_mod, "COO_K", 64)
+    monkeypatch.setattr(wire_mod, "COO_SMALL", 64)
+    w, h = 64, 48
+    frames = synth_frames(w, h, 3, seed=3)
+    oe = OracleEncoder()
+    oe.set_quality(2)          # heavy residuals
+    od = OracleDecoder()
+    dec = TpuDecoder()
+    for t, frame in enumerate(frames):
+        chunk, _ = oe.encode(frame)
+        np.testing.assert_array_equal(
+            dec.decode(chunk), od.decode(chunk, w, h),
+            err_msg=f"frame {t}")
+    assert dec._native is None  # the dense wave path handled the overflow
