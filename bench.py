@@ -164,6 +164,139 @@ def reference_stream_decode_fps(n_frames=6, warmup=2):
         return None, f"{type(e).__name__}: {e}"[:200]
 
 
+def measure_conformance(n_frames=6, warmup=2):
+    """Secondary metric: the byte-exact-vs-reference-encoder wavefront
+    path (Mosaic wave + exact-inter kernels), pipelined, 1080p q16.
+    Byte-exactness itself is pinned by the test tiers (CIF/720p vs the
+    compiled oracle; kernel-vs-XLA-anchor on chip)."""
+    import time as _time
+
+    try:
+        from cairo_tpu.tpu.api import ConformanceTpuEncoder
+        frames = synth_frames(1920, 1080, warmup + n_frames, seed=13)
+        enc = ConformanceTpuEncoder()
+        enc.set_quality(16)
+        times = []
+        t0 = _time.perf_counter()
+        for _ in enc.encode_many(frames):
+            t1 = _time.perf_counter()
+            times.append(t1 - t0)
+            t0 = t1
+        return round(1.0 / float(np.median(times[warmup:])), 3), None
+    except Exception as e:  # noqa: BLE001
+        print(f"measure_conformance failed: {e}", file=sys.stderr)
+        return None, f"{type(e).__name__}: {e}"[:200]
+
+
+def kernel_and_wire_evidence():
+    """Per-kernel device-step wall times (device-resident inputs; the
+    dispatch round trip is subtracted via an N=1 run) and the bytes each
+    wire moves across the link — the self-contained breakdown VERDICT r4
+    item 3 asked for."""
+    import jax
+
+    from cairo_tpu.tpu import engine, wire
+    from cairo_tpu.tpu import wavefront
+
+    out = {"kernel_ms": {}, "wire_bytes": {}}
+    aw, ah = 1920, 1088
+    n = (aw // 16) * (ah // 16)
+    k = wire.COO_K
+    out["wire_bytes"] = {
+        "enc_src_up": 8 + wire.yuv8_nbytes(ah, aw),
+        "yuv_down": wire.yuv_wire_nbytes(ah, aw),
+        "coo_full": 6 * k,
+        "coo_small": 6 * min(wire.COO_SMALL, k),
+        "table": 10 * n,
+    }
+    try:
+        rng = np.random.default_rng(0)
+
+        def steps(fn, arg_state, reps):
+            holder = {"s": arg_state}
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                holder["s"], o = fn(holder["s"])
+            np.asarray(jax.device_get(jax.tree.leaves(o)[0]))[:1]
+            return time.perf_counter() - t0
+
+        buf = rng.integers(0, 200, 8 + wire.yuv8_nbytes(ah, aw),
+                           np.uint8).astype(np.uint8)
+        buf[:8] = np.array([1, 16], np.int32).view(np.uint8)
+        src = jax.device_put(buf)
+
+        def enc_fn(state):
+            return engine.encode_step(
+                src, state, aligned_w=aw, aligned_h=ah, frame_w=1920,
+                frame_h=1080, is_inter=True)
+
+        st = jax.tree.map(lambda x: x + 0, engine.init_state(aw, ah))
+        steps(enc_fn, st, 1)
+        st = jax.tree.map(lambda x: x + 0, engine.init_state(aw, ah))
+        t1 = steps(enc_fn, st, 1)
+        st = jax.tree.map(lambda x: x + 0, engine.init_state(aw, ah))
+        t5 = steps(enc_fn, st, 5)
+        out["kernel_ms"]["encode_step"] = round((t5 - t1) / 4 * 1e3, 1)
+
+        def conf_fn(state):
+            return wavefront.conformance_encode_step(
+                src, state, aligned_w=aw, aligned_h=ah, frame_w=1920,
+                frame_h=1080, is_inter=True)
+
+        st = wavefront.init_state(aw, ah)
+        steps(conf_fn, st, 1)
+        st = wavefront.init_state(aw, ah)
+        t1 = steps(conf_fn, st, 1)
+        st = wavefront.init_state(aw, ah)
+        t5 = steps(conf_fn, st, 5)
+        out["kernel_ms"]["conformance_encode_step"] =             round((t5 - t1) / 4 * 1e3, 1)
+    except Exception as e:  # noqa: BLE001
+        print(f"kernel evidence failed: {e}", file=sys.stderr)
+        out["kernel_error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
+
+
+def tile_device_overhead():
+    """Item 7's honest multi-chip compute bound: the fast encode step
+    compiled at the 8-tile per-tile shape (240x1088), run sequentially on
+    the real chip, vs the full-frame step: ratio = (8 * t_tile) / t_full.
+    Anything <= ~1.3 forecasts >= 0.77 compute-side scaling efficiency on
+    8 chips before halo-exchange costs."""
+    import jax
+
+    from cairo_tpu.tpu import engine, wire
+
+    try:
+        rng = np.random.default_rng(0)
+
+        def run(aw, ah, reps):
+            buf = rng.integers(0, 200, 8 + wire.yuv8_nbytes(ah, aw),
+                               np.uint8).astype(np.uint8)
+            buf[:8] = np.array([1, 16], np.int32).view(np.uint8)
+            src = jax.device_put(buf)
+            st = jax.tree.map(lambda x: x + 0, engine.init_state(aw, ah))
+
+            def f(state):
+                return engine.encode_step(
+                    src, state, aligned_w=aw, aligned_h=ah, frame_w=aw,
+                    frame_h=ah, is_inter=True)
+
+            st, o = f(st)
+            np.asarray(jax.device_get(o["wire"]))[:1]
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                st, o = f(st)
+            np.asarray(jax.device_get(o["wire"]))[:1]
+            return (time.perf_counter() - t0) / reps
+
+        t_full = run(1920, 1088, 4)
+        t_tile = run(240, 1088, 4)
+        return round(8 * t_tile / t_full, 3), None
+    except Exception as e:  # noqa: BLE001
+        print(f"tile_device_overhead failed: {e}", file=sys.stderr)
+        return None, f"{type(e).__name__}: {e}"[:200]
+
+
 def main():
     from cairo_tpu.tpu.api import TpuDecoder, TpuEncoder
 
@@ -176,23 +309,33 @@ def main():
 
     chunks = []
     enc_times = []
+    enc_stages = []
     t0 = time.perf_counter()
     for i, chunk in enumerate(enc.encode_many(frames)):
         chunks.append(chunk)
         t1 = time.perf_counter()
         enc_times.append(t1 - t0)
+        if enc.last_stats and i >= warmup:
+            enc_stages.append(dict(enc.last_stats.get("stage_ms", {})))
         t0 = t1
     t_enc = sum(enc_times[warmup:])
-    enc_stage_ms = dict(enc.last_stats["stage_ms"])
+    # per-stage MEDIANS over the measured frames (a single tunnel stall
+    # must not poison the key — VERDICT r4 weak item 3)
+    enc_stage_ms = {
+        k2: float(np.median([s[k2] for s in enc_stages]))
+        for k2 in (enc_stages[0] if enc_stages else {})}
 
     dec = TpuDecoder()
     outs = []
     dec_times = []
+    dec_stages = []
     t0 = time.perf_counter()
     for i, rgb in enumerate(dec.decode_many(chunks)):
         outs.append(rgb)
         t1 = time.perf_counter()
         dec_times.append(t1 - t0)
+        if dec.last_stats and i >= warmup:
+            dec_stages.append(dict(dec.last_stats.get("stage_ms", {})))
         t0 = t1
     t_dec = sum(dec_times[warmup:])
 
@@ -219,8 +362,15 @@ def main():
         "decode_median_ms": round(
             float(np.median(dec_times[warmup:])) * 1e3, 1),
         "enc_stage_ms": {k: round(v, 1) for k, v in enc_stage_ms.items()},
-        "dec_stage_ms": {k: round(v, 1) for k, v in
-                         (dec.last_stats or {}).get("stage_ms", {}).items()},
+        "dec_stage_ms": {
+            k: round(float(np.median([s[k] for s in dec_stages])), 1)
+            for k in (dec_stages[0] if dec_stages else {})},
+        # run-to-run the tunnel swings ~+-25%; the band says what a single
+        # headline draw can look like (ROUND4_NOTES measurement note)
+        "encode_ms_band": [round(min(enc_times[warmup:]) * 1e3, 1),
+                           round(max(enc_times[warmup:]) * 1e3, 1)],
+        "decode_ms_band": [round(min(dec_times[warmup:]) * 1e3, 1),
+                           round(max(dec_times[warmup:]) * 1e3, 1)],
         "psnr_db": round(psnr, 2),
         "kbits_per_frame": round(
             sum(len(c) for c in chunks) * 8 / len(chunks) / 1000, 1),
@@ -241,6 +391,22 @@ def main():
         result["ref_stream_decode_fps"] = ref_fps
     else:
         result["ref_stream_decode_error"] = ref_err
+    conf_fps, conf_err = measure_conformance()
+    if conf_fps is not None:
+        # the byte-exact-vs-reference-encoder path (Mosaic wave + inter
+        # kernels); the reference C++ encoder measures 0.38 fps here
+        result["conformance_fps"] = conf_fps
+    else:
+        result["conformance_error"] = conf_err
+    result.update(kernel_and_wire_evidence())
+    tile_ovh, tile_err = tile_device_overhead()
+    if tile_ovh is not None:
+        # (8 * per-tile-shape step) / full-frame step on the real chip:
+        # the compute-side bound for 8-way tile sharding (bench.py
+        # tile_device_overhead docstring for methodology)
+        result["tile_device_overhead"] = tile_ovh
+    else:
+        result["tile_overhead_error"] = tile_err
     scaling, scaling_err = scaling_number()
     if scaling:
         # t1/tN on 8 virtual devices sharing 2 host cores: a tiling

@@ -105,7 +105,6 @@ def _vertical_pass(rows8, vs_row, vqp_row, is_luma):
 def _horizontal_pass(rows8, hs_row, hqp_row, is_luma):
     """All horizontal edges of one band boundary. rows8: (8, W) = rows
     y-4..y+3; the edge sits between rows 3 and 4 of this window."""
-    s = jnp.repeat(hs_row, STEP)[None, :] * jnp.ones((1,), jnp.int32)
     qp = jnp.repeat(hqp_row, STEP)
     p0, p1, p2, p3 = rows8[3], rows8[2], rows8[1], rows8[0]
     q0, q1, q2, q3 = rows8[4], rows8[5], rows8[6], rows8[7]

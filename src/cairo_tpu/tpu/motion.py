@@ -234,13 +234,6 @@ def inter_search_exact(src, ref_planes, px, py, quality):
 DENSE_R = RADIUS  # +/-16
 
 
-def _box_reduce(diff, mb_h, mb_w):
-    hb = diff.shape[0] // mb_h
-    wb = diff.shape[1] // mb_w
-    d = diff.reshape(hb, mb_h, wb, mb_w)
-    return d.sum(axis=(1, 3), dtype=jnp.int32), d.max(axis=(1, 3))
-
-
 def _chroma_max_maps(src_u, src_v, ref_u_wide, ref_v_wide, radius):
     """(n_off, hb, wb, n_off) chroma abs-max maps over offsets
     [-radius, radius]. ref planes carry a `radius` horizontal margin."""

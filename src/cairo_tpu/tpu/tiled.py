@@ -5,6 +5,11 @@ Implements the `tiled_stream` extension of docs/SHARDING.md:
     tiled_stream := tiled_header u16 tile_count (u16 tile_width_mbs)* frame*
     frame        := frame_desc (u32 tile_bytes tile_slice)*
 
+All tile_width_mbs entries MUST be equal: the mesh-sharded pipeline tiles
+uniformly, and both ends enforce it (pack_tiled_header validates at
+encode, TiledDecoder rejects at decode). The per-tile width fields stay
+in the wire for forward compatibility with non-uniform tilings.
+
 The tiled_header is the 14-byte evx1 header layout (common.h:53-62) with
 magic "EVXT" so plain-stream decoders reject it cleanly. Each tile_slice is
 a standard evx1 slice (its own ABAC coder, block table, MV/QP/DC-delta
@@ -41,6 +46,9 @@ _TILED_HEADER_FMT = "<4sHBxHHH"  # magic, size, ref_count, version, w, h
 
 
 def pack_tiled_header(width: int, height: int, tile_widths_mbs) -> bytes:
+    if len(set(tile_widths_mbs)) != 1:
+        raise ValueError("tiled streams require uniform tile widths "
+                         "(docs/SHARDING.md)")
     head = struct.pack(_TILED_HEADER_FMT, b"EVXT", HEADER_SIZE,
                        tables.REFERENCE_FRAME_COUNT, tables.VERSION_WORD,
                        width, height)
@@ -286,7 +294,8 @@ class TiledDecoder:
         self.width, self.height = width, height
         self.tile_widths = [t * MB for t in tile_mbs]
         if len(set(self.tile_widths)) != 1:
-            raise ValueError("variable tile widths not supported")
+            raise ValueError("tiled streams require uniform tile widths "
+                             "(docs/SHARDING.md)")
         self.n_tiles = len(tile_mbs)
         self.tile_w = self.tile_widths[0]
         self._aw = self.tile_w * self.n_tiles
@@ -326,8 +335,12 @@ class TiledDecoder:
         # persistent per-tile tables/planes from the device ring
         scratch = []
         for t in range(self.n_tiles):
+            if offset + 4 > len(chunk):
+                raise ValueError("truncated tiled frame (missing length)")
             (nbytes,) = struct.unpack_from("<I", chunk, offset)
             offset += 4
+            if nbytes == 0 or offset + nbytes > len(chunk):
+                raise ValueError("tile slice length out of bounds")
             payload = chunk[offset:offset + nbytes]
             offset += nbytes
             bt = self._bt[t].copy()

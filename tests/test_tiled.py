@@ -164,3 +164,40 @@ def test_tiled_decoder_rejects_corrupt_streams():
     dec3 = tiled.TiledDecoder()
     for c in chunks:
         dec3.decode(c)
+
+
+def test_tiled_framing_bounds_and_width_uniformity():
+    """Frame-framing hostile input (u32 tile_bytes far beyond the chunk,
+    zero-length slices) raises instead of crashing or hanging, and the
+    uniform-tile-width mandate (docs/SHARDING.md) is enforced at BOTH
+    ends of the wire."""
+    import struct
+
+    import pytest as _pytest
+
+    frames = moving_frames(128, 64, 1)
+    enc = tiled.TiledEncoder(n_tiles=2)
+    enc.set_quality(12)
+    chunk = enc.encode(frames[0])
+
+    # encoder-side: non-uniform widths may never be packed
+    with _pytest.raises(ValueError):
+        tiled.pack_tiled_header(128, 64, [2, 6])
+
+    # decoder-side: a forged non-uniform header is rejected
+    _, _, tile_mbs, off = tiled.parse_tiled_header(chunk)
+    forged = bytearray(chunk)
+    struct.pack_into("<H", forged, tiled.HEADER_SIZE + 2, tile_mbs[0] + 1)
+    with _pytest.raises(ValueError):
+        tiled.TiledDecoder().decode(bytes(forged))
+
+    # tile_bytes bounds: blow the first slice's length field up/down —
+    # the parser must raise (truncated/garbage slice), never hang
+    for evil in (0xFFFFFFFF, len(chunk) + 1, 0):
+        bad = bytearray(chunk)
+        struct.pack_into("<I", bad, off + tiled.FRAME_DESC_SIZE, evil)
+        with _pytest.raises(ValueError):
+            tiled.TiledDecoder().decode(bytes(bad))
+
+    # pristine stream still decodes after all the hostile attempts
+    tiled.TiledDecoder().decode(chunk)
