@@ -628,14 +628,24 @@ class TpuDecoder:
         return tuple(self._state[k][slot]
                      for k in ("ring_y", "ring_u", "ring_v"))
 
+    def _fetch_decode(self, pending):
+        """Stage 1 of finish: the (link-bound) device fetch."""
+        if pending["kind"] == "wire":
+            pending["buf"] = np.asarray(pending["yuv"])
+            pending["t_fetch1"] = time.perf_counter()
+        return pending
+
     def _finish_decode(self, pending) -> np.ndarray:
         if pending["kind"] == "host":
             return pending["rgb"]
         if pending["kind"] == "dense":
             return np.asarray(pending["rgb"])
-        t_fetch0 = time.perf_counter()
-        buf = np.asarray(pending["yuv"])
-        t_fetch1 = time.perf_counter()
+        if "buf" in pending:
+            buf = pending["buf"]
+            t_fetch1 = pending["t_fetch1"]
+        else:
+            buf = np.asarray(pending["yuv"])
+            t_fetch1 = time.perf_counter()
         with jax.profiler.TraceAnnotation("cairo_tpu.yuv_to_rgb"):
             rgb, exc_count = native.yuv_wire_to_rgb(
                 buf, self._aw, self._ah, self.width, self.height,
@@ -656,18 +666,24 @@ class TpuDecoder:
         return self._finish_decode(self._dispatch_decode(chunk))
 
     def decode_many(self, chunks):
-        """Pipelined decode: the device reconstructs frame N+1 while a
-        worker thread fetches + converts frame N. Yields one RGB frame per
-        chunk."""
+        """Pipelined decode across three lanes: the device reconstructs
+        frame N+1 while one worker drains frame N's (link-bound) YUV fetch
+        and a second converts frame N-1 to RGB — the fetch and the native
+        converter both release the GIL, so steady state costs
+        max(device+upload, fetch, convert) per frame. Yields one RGB
+        frame per chunk."""
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(1) as pool:
+        with ThreadPoolExecutor(1) as fetch_pool, \
+                ThreadPoolExecutor(1) as conv_pool:
             fut = None
             for chunk in chunks:
                 nxt = self._dispatch_decode(chunk)
                 if fut is not None:
                     yield fut.result()
-                fut = pool.submit(self._finish_decode, nxt)
+                ffut = fetch_pool.submit(self._fetch_decode, nxt)
+                fut = conv_pool.submit(
+                    lambda f=ffut: self._finish_decode(f.result()))
             if fut is not None:
                 yield fut.result()
 
