@@ -274,12 +274,14 @@ def kernel_and_wire_evidence():
     return out
 
 
-def tile_device_overhead():
+def tile_device_overhead(full=(1920, 1088), tiles=8):
     """Item 7's honest multi-chip compute bound: the fast encode step
-    compiled at the 8-tile per-tile shape (240x1088), run sequentially on
-    the real chip, vs the full-frame step: ratio = (8 * t_tile) / t_full.
-    Anything <= ~1.3 forecasts >= 0.77 compute-side scaling efficiency on
-    8 chips before halo-exchange costs."""
+    compiled at the per-tile shape, run `tiles` times sequentially on the
+    real chip, vs the full-frame step: ratio = (tiles * t_tile) / t_full.
+    Anything <= ~1.3 forecasts >= 0.77 compute-side scaling efficiency
+    before halo-exchange costs. Measured at BOTH the 1080p shape (240-px
+    tiles: narrow, per-row kernels under-filled) and the 4K shape (480-px
+    tiles: the intended sharding regime)."""
     import jax
 
     from cairo_tpu.tpu import engine, wire
@@ -309,9 +311,9 @@ def tile_device_overhead():
             np.asarray(jax.device_get(o["wire"]))[:1]
             return (time.perf_counter() - t0) / reps
 
-        t_full = run(1920, 1088, 4)
-        t_tile = run(240, 1088, 4)
-        return round(8 * t_tile / t_full, 3), None
+        t_full = run(full[0], full[1], 4)
+        t_tile = run(full[0] // tiles, full[1], 4)
+        return round(tiles * t_tile / t_full, 3), None
     except Exception as e:  # noqa: BLE001
         print(f"tile_device_overhead failed: {e}", file=sys.stderr)
         return None, f"{type(e).__name__}: {e}"[:200]
@@ -420,6 +422,10 @@ def main():
         result["conformance_error"] = conf_err
     result.update(kernel_and_wire_evidence())
     tile_ovh, tile_err = tile_device_overhead()
+    tile_ovh4k, _tile4k_err = tile_device_overhead(full=(3840, 2176),
+                                                   tiles=8)
+    if tile_ovh4k is not None:
+        result["tile_device_overhead_4k"] = tile_ovh4k
     if tile_ovh is not None:
         # (8 * per-tile-shape step) / full-frame step on the real chip:
         # the compute-side bound for 8-way tile sharding (bench.py
