@@ -67,3 +67,17 @@ def test_wave_kernel_supported_geometry():
     assert pallas_wave.supported(1920, 1088)
     assert pallas_wave.supported(1280, 720)
     assert not pallas_wave.supported(3840, 2160)  # XLA fallback at 4K
+
+
+@pytest.mark.slow
+def test_wave_kernel_matches_xla_720p():
+    """Production-scale geometry (P=27->32 padded members, wb=80): the
+    Mosaic wave + inter kernels vs the XLA wavefront at 1280x720, byte
+    exact across an intra + inter frame pair."""
+    ref_outs, ref_state = _run(False, 2, 16, aw=1280, ah=720)
+    got_outs, got_state = _run(True, 2, 16, aw=1280, ah=720)
+    for i, (r, g) in enumerate(zip(ref_outs, got_outs)):
+        for k in r:
+            assert np.array_equal(r[k], g[k]), f"frame {i} field {k}"
+    for k in ref_state:
+        assert np.array_equal(ref_state[k], got_state[k]), f"state {k}"
