@@ -421,6 +421,18 @@ def main():
     else:
         result["conformance_error"] = conf_err
     result.update(kernel_and_wire_evidence())
+    km = result.get("kernel_ms", {})
+    if "encode_step" in km:
+        # achieved-vs-roofline: the fast encode step's floor is the dense
+        # search's VPU bound (~9 ms, ROUND4_NOTES section 1) + COO/DCT
+        # (~8 ms); the conformance kernels' floor is the strip+metric
+        # vector work (~25 ms across wave+inter at 1080p)
+        result["utilization_est"] = {
+            "encode_step": round(17.0 / max(km["encode_step"], 1e-3), 2),
+            "conformance_encode_step": round(
+                25.0 / max(km.get("conformance_encode_step", 1e9), 1e-3),
+                2),
+        }
     tile_ovh, tile_err = tile_device_overhead()
     tile_ovh4k, _tile4k_err = tile_device_overhead(full=(3840, 2176),
                                                    tiles=8)
