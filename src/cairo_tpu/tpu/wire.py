@@ -73,8 +73,16 @@ def _compact(vals, mask, k, val_dtype=jnp.int16):
     c = jnp.cumsum(hist) - 1
     local = j - base[c]
     ok = j < total
-    pos = jnp.where(ok, idx_s[c, local], 0)
-    val = jnp.where(ok, val_s[c, local], 0).astype(val_dtype)
+    # flat = c*chunk + local is strictly increasing in j (a +1 jump of c
+    # adds `chunk` while local drops by at most chunk-1), so the gather can
+    # carry the sorted-indices hint; the j >= total tail clips in-bounds
+    # and is masked by `ok` either way.
+    flat = jnp.minimum(c * chunk + local, idx_s.size - 1)
+    pos = jnp.where(ok, jnp.take(idx_s.reshape(-1), flat,
+                                 indices_are_sorted=True), 0)
+    val = jnp.where(ok, jnp.take(val_s.reshape(-1), flat,
+                                 indices_are_sorted=True),
+                    0).astype(val_dtype)
     return pos, val, total
 
 
