@@ -53,6 +53,9 @@ def lib():
         L.evxn_yuv_wire_to_rgb.argtypes = [u8, u, u, u, u, u, u8]
         L.evxn_rgb_to_yuv8.restype = ctypes.c_longlong
         L.evxn_rgb_to_yuv8.argtypes = [u8, u, u, u, u, u8]
+        L.evxn_pack_yuv5d.restype = ctypes.c_longlong
+        L.evxn_pack_yuv5d.argtypes = [u8, u, u, u, u8,
+                                      ctypes.POINTER(ctypes.c_int), i16]
         p32 = ctypes.POINTER(ctypes.c_int32)
         vp = ctypes.c_void_p
         L.evxn_dec_create.restype = vp
@@ -173,6 +176,38 @@ def rgb_to_yuv8(rgb: np.ndarray, aw: int, ah: int, frame_index: int = 0,
     payload = out[8:]
     lib().evxn_rgb_to_yuv8(_p8(rgb), width, height, aw, ah, _p8(payload))
     return out
+
+
+UP_EXC_K = 8192  # must match tpu.wire.UP_EXC_K
+
+
+def rgb_to_yuv5d(rgb: np.ndarray, aw: int, ah: int, frame_index: int = 0,
+                 quality: int = 0):
+    """Converts a frame to the 5-bit-delta source wire (tpu/wire.py
+    unpack_yuv5d layout): 8-byte header + exception section + packed
+    fields — ~5/8 the bytes of the 8-bit wire on real content, bit-exact
+    via the exception list. Returns (kind, wire): kind "yuv5d" on
+    success, or "yuv8" with the plain wire when the content needs more
+    than UP_EXC_K exceptions (the caller uploads whichever it gets)."""
+    yuv8 = rgb_to_yuv8(rgb, aw, ah, frame_index, quality)
+    total = ah * aw + 2 * (ah // 2) * (aw // 2)
+    packed_n = total * 5 // 8
+    out = np.zeros(8 + 6 * UP_EXC_K + packed_n, np.uint8)
+    out[:8] = yuv8[:8]
+    exc_pos = np.empty(UP_EXC_K, np.int32)
+    exc_val = np.zeros(UP_EXC_K, np.int16)
+    payload = yuv8[8:]
+    packed = out[8 + 6 * UP_EXC_K:]
+    n_exc = lib().evxn_pack_yuv5d(
+        _p8(payload), aw, ah, UP_EXC_K, _p8(packed),
+        exc_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        _p16(exc_val))
+    if n_exc > UP_EXC_K:
+        return "yuv8", yuv8
+    exc_pos[n_exc:] = total  # out-of-range sentinel -> scatter drops
+    out[8:8 + 4 * UP_EXC_K] = exc_pos.view(np.uint8)
+    out[8 + 4 * UP_EXC_K:8 + 6 * UP_EXC_K] = exc_val.view(np.uint8)
+    return "yuv5d", out
 
 
 class NativeDecoder:

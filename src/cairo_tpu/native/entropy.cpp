@@ -742,4 +742,56 @@ long long evxn_yuv_wire_to_rgb(
     return exc_count;
 }
 
+// Packs the 8-bit YUV source wire (evxn_rgb_to_yuv8 payload) into the
+// 5-bit-delta uplink wire: each value is stored as a 5-bit field holding
+// clip(delta, -16, 15), where delta is the horizontal difference to the
+// left neighbour (column 0 uses the vertical difference to the row above;
+// row 0 / col 0 differences against 0). Deltas the field cannot hold ride
+// the exception list as (flat position, true delta) pairs, so the device
+// reconstruction (clipped-field scatter-set + cumsum, tpu/wire.py
+// unpack_yuv5d) is bit-exact for ANY content; callers fall back to the
+// plain 8-bit wire when n_exc > exc_k. Field g occupies stream bits
+// [5g, 5g+5) little-endian, matching the device's u32-word unpack.
+// `packed` must be zeroed and hold ceil(total*5/8) bytes. Returns the
+// total exception count (may exceed exc_k; only exc_k entries written).
+long long evxn_pack_yuv5d(const uint8_t *yuv, unsigned aw, unsigned ah,
+                          unsigned exc_k, uint8_t *packed,
+                          int *exc_pos, int16_t *exc_val) {
+    const unsigned cw = aw >> 1, chh = ah >> 1;
+    const long long ysz = (long long)aw * ah;
+    const long long csz = (long long)cw * chh;
+    struct PlaneRef { const uint8_t *p; unsigned w, h; long long base; };
+    const PlaneRef planes[3] = {
+        {yuv, aw, ah, 0},
+        {yuv + ysz, cw, chh, ysz},
+        {yuv + ysz + csz, cw, chh, ysz + csz}};
+    long long n_exc = 0;
+    for (const PlaneRef &pl : planes) {
+        for (unsigned r = 0; r < pl.h; ++r) {
+            const uint8_t *row = pl.p + (long long)r * pl.w;
+            const long long fbase = pl.base + (long long)r * pl.w;
+            int prev = r ? (int)row[-(long long)pl.w] : 0;  // col-0 vertical
+            for (unsigned c = 0; c < pl.w; ++c) {
+                int d = (int)row[c] - prev;
+                prev = row[c];
+                int st = d < -16 ? -16 : (d > 15 ? 15 : d);
+                if (st != d) {
+                    if (n_exc < (long long)exc_k) {
+                        exc_pos[n_exc] = (int)(fbase + c);
+                        exc_val[n_exc] = (int16_t)d;
+                    }
+                    ++n_exc;
+                }
+                const long long bit = 5 * (fbase + c);
+                const int off = (int)(bit & 7);
+                packed[bit >> 3] |= (uint8_t)((st & 31) << off);
+                if (off > 3)
+                    packed[(bit >> 3) + 1] |= (uint8_t)((unsigned)(st & 31)
+                                                        >> (8 - off));
+            }
+        }
+    }
+    return n_exc;
+}
+
 } // extern "C"

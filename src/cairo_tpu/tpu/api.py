@@ -119,18 +119,20 @@ class TpuEncoder:
         frame_desc = struct.pack(_FRAME_FMT, self.frame_type,
                                  self.frame_index, self.quality)
         if src_wire is None:
-            with jax.profiler.TraceAnnotation("cairo_tpu.rgb_to_yuv8"):
-                src_wire = native.rgb_to_yuv8(rgb, self._aw, self._ah,
-                                              self.frame_index, self.quality)
+            with jax.profiler.TraceAnnotation("cairo_tpu.rgb_to_yuv5d"):
+                src_wire = native.rgb_to_yuv5d(rgb, self._aw, self._ah,
+                                               self.frame_index, self.quality)
+        src_fmt, src_buf = src_wire
         with jax.profiler.TraceAnnotation("cairo_tpu.encode_step"):
             self._state, out = engine.encode_step(
-                src_wire, self._state, aligned_w=self._aw,
+                src_buf, self._state, aligned_w=self._aw,
                 aligned_h=self._ah, frame_w=self.width,
                 frame_h=self.height,
                 is_inter=self.frame_type == FRAME_INTER,
                 n_refs=self.config.reference_frame_count,
                 deblock=self.config.enable_deblocking,
-                adaptive=self.config.adaptive_quantization)
+                adaptive=self.config.adaptive_quantization,
+                src_fmt=src_fmt)
         out["wire"].copy_to_host_async()  # start the D2H as compute finishes
         pending = dict(header=header, frame_desc=frame_desc, out=out,
                        frame_index=self.frame_index,
@@ -232,7 +234,7 @@ class TpuEncoder:
                 if cur is not None and self._state is not None:
                     # self.frame_index was advanced by _dispatch: it is
                     # the NEXT frame's index
-                    pre = (pool.submit(native.rgb_to_yuv8, cur, self._aw,
+                    pre = (pool.submit(native.rgb_to_yuv5d, cur, self._aw,
                                        self._ah, self.frame_index,
                                        self.quality),
                            self.frame_index, self.quality)

@@ -160,23 +160,29 @@ def _classify_inter(src, src_planes, ring, state_wins, px, py, quality,
 @functools.partial(jax.jit, static_argnames=("aligned_w", "aligned_h",
                                              "frame_w", "frame_h",
                                              "is_inter", "n_refs",
-                                             "deblock", "adaptive"),
+                                             "deblock", "adaptive",
+                                             "src_fmt"),
                    donate_argnums=(1,))
 def encode_step(src_wire, state, *, aligned_w, aligned_h, frame_w, frame_h,
-                is_inter, n_refs=RING, deblock=True, adaptive=True):
-    """One frame through the device pipeline. The input is the 8-bit YUV
-    source wire (host-converted, frame-edge masking applied on the static
-    pad positions — see native.rgb_to_yuv8) prefixed with an 8-byte
-    [frame_index, quality] int32 header, so one upload carries everything
-    (per-transfer latency on the host link is ~5-15 ms).
+                is_inter, n_refs=RING, deblock=True, adaptive=True,
+                src_fmt="yuv8"):
+    """One frame through the device pipeline. The input is the source wire
+    (host-converted, frame-edge masking applied on the static pad
+    positions — see native.rgb_to_yuv8 / rgb_to_yuv5d) prefixed with an
+    8-byte [frame_index, quality] int32 header, so one upload carries
+    everything (per-transfer latency on the host link is ~5-15 ms).
+    src_fmt picks the wire decode: "yuv8" (plain bytes) or "yuv5d"
+    (5-bit-delta packed — ~5/8 the upload bytes, bit-identical planes).
     Returns (new_state, outputs)."""
     px, py, wb, hb = _mb_coords(aligned_w, aligned_h)
     n = wb * hb
 
     hdr = jax.lax.bitcast_convert_type(src_wire[:8].reshape(2, 4), jnp.int32)
     frame_index, quality = hdr[0], hdr[1]
-    y_in, u_in, v_in = wire_mod.unpack_yuv8(src_wire[8:], aligned_h,
-                                            aligned_w, frame_w, frame_h)
+    unpack_src = (wire_mod.unpack_yuv5d if src_fmt == "yuv5d"
+                  else wire_mod.unpack_yuv8)
+    y_in, u_in, v_in = unpack_src(src_wire[8:], aligned_h,
+                                  aligned_w, frame_w, frame_h)
 
     src = (ops.plane_to_blocks(y_in, MB),
            ops.plane_to_blocks(u_in, MB // 2),

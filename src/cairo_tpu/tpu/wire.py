@@ -45,13 +45,15 @@ COO_K = 1 << 17       # residual COO capacity (pow-2 keeps 1 compile)
 COO_SMALL = 1 << 14
 
 
-def _compact(vals, mask, k, val_dtype=jnp.int16):
+def _compact(vals, mask, k, val_dtype=jnp.int16, split=None):
     """Stream compaction: (positions, values, count) of the first k True
     elements of a flat mask. A direct scatter of n updates into k slots
     lowers to a global sort plus n random gathers (~35 ms at n=3M on
     v5e); instead sort each 512-chunk locally (vectorized along the minor
     axis) and build the k outputs with gathers — 24x fewer random
-    accesses."""
+    accesses. With `split`, slots [split:k] are only gathered when the
+    true count exceeds `split` (lax.cond), so head-only frames skip the
+    tail's gather cost entirely."""
     chunk = 512
     n = mask.shape[0]
     npad = -n % chunk
@@ -78,12 +80,35 @@ def _compact(vals, mask, k, val_dtype=jnp.int16):
     # carry the sorted-indices hint; the j >= total tail clips in-bounds
     # and is masked by `ok` either way.
     flat = jnp.minimum(c * chunk + local, idx_s.size - 1)
-    pos = jnp.where(ok, jnp.take(idx_s.reshape(-1), flat,
-                                 indices_are_sorted=True), 0)
-    val = jnp.where(ok, jnp.take(val_s.reshape(-1), flat,
-                                 indices_are_sorted=True),
-                    0).astype(val_dtype)
-    return pos, val, total
+    idx_f = idx_s.reshape(-1)
+    val_f = val_s.reshape(-1)
+
+    def gather_range(lo, hi):
+        p = jnp.where(ok[lo:hi],
+                      jnp.take(idx_f, flat[lo:hi], indices_are_sorted=True),
+                      0)
+        v = jnp.where(ok[lo:hi],
+                      jnp.take(val_f, flat[lo:hi], indices_are_sorted=True),
+                      0).astype(val_dtype)
+        return p, v
+
+    if split is None or split >= k:
+        pos, val = gather_range(0, k)
+        return pos, val, total
+    # Two-tier gather: the head (<= split slots) is always materialized;
+    # the tail gather — 7/8 of the random-access work at the default
+    # capacities — only runs when the frame actually overflows the head
+    # (intra/scene-change frames; typical inter frames carry ~5-13k
+    # nonzeros vs the 16k head). lax.cond executes one branch at runtime,
+    # so the common path skips ~6 ms of XLA gather time at 1080p.
+    head_pos, head_val = gather_range(0, split)
+    tail_pos, tail_val = jax.lax.cond(
+        total > split,
+        lambda: gather_range(split, k),
+        lambda: (jnp.zeros(k - split, jnp.int32),
+                 jnp.zeros(k - split, val_dtype)))
+    return (jnp.concatenate([head_pos, tail_pos]),
+            jnp.concatenate([head_val, tail_val]), total)
 
 
 def _u8(x16):
@@ -120,7 +145,7 @@ def pack_encode_wire(table, coef_y, coef_u, coef_v, copy_mb):
         jnp.where(ymask, 0, coef_y.astype(jnp.int32)).reshape(-1),
         jnp.where(cmask, 0, coef_u.astype(jnp.int32)).reshape(-1),
         jnp.where(cmask, 0, coef_v.astype(jnp.int32)).reshape(-1)])
-    pos, val, count = _compact(flat, flat != 0, COO_K)
+    pos, val, count = _compact(flat, flat != 0, COO_K, split=COO_SMALL)
     parts += [_u8(count[None]), _u8(pos[:COO_SMALL]), _u8(val[:COO_SMALL])]
     tail = jnp.concatenate([_u8(pos[COO_SMALL:]), _u8(val[COO_SMALL:])])
     return jnp.concatenate(parts), tail
@@ -217,6 +242,66 @@ def unpack_yuv8(buf, ah, aw, frame_w, frame_h):
     y = jnp.where(mask, y + 16, 0)
     u = buf[ys:ys + cs].astype(jnp.int32).reshape(ah // 2, aw // 2)
     v = buf[ys + cs:ys + 2 * cs].astype(jnp.int32).reshape(ah // 2, aw // 2)
+    return y, u, v
+
+
+# 5-bit-delta uplink wire (native.rgb_to_yuv5d / evxn_pack_yuv5d): the
+# source upload is the encode leg's link floor (~3.1 MB of 8-bit YUV at
+# 1080p on a ~45 MB/s tunnel), and horizontal neighbour deltas of game
+# content fit 5 bits for >99.8% of pixels (measured) — the packed wire is
+# 5/8 the size plus a fixed exception section, and stays bit-exact for
+# any content because clipped deltas ride the exception list (the host
+# falls back to the 8-bit wire beyond UP_EXC_K exceptions).
+UP_EXC_K = 8192
+
+
+def yuv5d_nbytes(ah, aw):
+    total = ah * aw + 2 * (ah // 2) * (aw // 2)
+    return 6 * UP_EXC_K + total * 5 // 8
+
+
+def unpack_yuv5d(buf, ah, aw, frame_w, frame_h):
+    """Device side: 5-bit-delta source wire -> (y, u, v) int32 planes
+    (same output contract as unpack_yuv8).
+
+    Layout: [UP_EXC_K int32 exc_pos | UP_EXC_K int16 exc_val | packed
+    5-bit fields]. Field g holds clip(delta, -16, 15) at stream bits
+    [5g, 5g+5); exceptions carry (flat position, true delta) with
+    out-of-range sentinel padding (scatter mode="drop" ignores them).
+    Reconstruction: scatter-set true deltas, per-plane col-0 vertical
+    cumsum, then a horizontal cumsum."""
+    ys, cs = ah * aw, (ah // 2) * (aw // 2)
+    total = ys + 2 * cs
+    exc_pos = jax.lax.bitcast_convert_type(
+        buf[:4 * UP_EXC_K].reshape(UP_EXC_K, 4), jnp.int32)
+    exc_val = jax.lax.bitcast_convert_type(
+        buf[4 * UP_EXC_K:6 * UP_EXC_K].reshape(UP_EXC_K, 2), jnp.int16)
+    words = jax.lax.bitcast_convert_type(
+        buf[6 * UP_EXC_K:].reshape(-1, 5, 4), jnp.uint32)  # (G, 5)
+    # 32 fields per 5-word group; each field spans <= 2 words
+    fields = []
+    for i in range(32):
+        b = 5 * i
+        k, s = b >> 5, b & 31
+        raw = words[:, k] >> np.uint32(s)
+        if s > 27:
+            raw = raw | (words[:, k + 1] << np.uint32(32 - s))
+        fields.append((raw & np.uint32(31)).astype(jnp.int32))
+    d = jnp.stack(fields, axis=1).reshape(-1)
+    d = (d ^ 16) - 16  # sign-extend 5-bit
+    d = d.at[exc_pos].set(exc_val.astype(jnp.int32), mode="drop")
+
+    def plane(dflat, h, w):
+        g = dflat.reshape(h, w)
+        c0 = jnp.cumsum(g[:, :1], axis=0)  # col 0 chains vertically
+        return jnp.cumsum(jnp.concatenate([c0, g[:, 1:]], axis=1), axis=1)
+
+    y = plane(d[:ys], ah, aw)
+    mask = ((jnp.arange(ah)[:, None] < frame_h)
+            & (jnp.arange(aw)[None, :] < frame_w))
+    y = jnp.where(mask, y + 16, 0)
+    u = plane(d[ys:ys + cs], ah // 2, aw // 2)
+    v = plane(d[ys + cs:], ah // 2, aw // 2)
     return y, u, v
 
 
