@@ -218,8 +218,10 @@ def kernel_and_wire_evidence():
     n = (aw // 16) * (ah // 16)
     k = wire.COO_K
     out["wire_bytes"] = {
-        "enc_src_up": 8 + wire.yuv8_nbytes(ah, aw),
-        "yuv_down": wire.yuv_wire_nbytes(ah, aw),
+        "enc_src_up": 8 + wire.yuv5d_nbytes(ah, aw),
+        "enc_src_up_yuv8_fallback": 8 + wire.yuv8_nbytes(ah, aw),
+        "yuv_down": wire.yuv5d_wire_nbytes(ah, aw),
+        "yuv_down_yuv8_fallback": wire.yuv_wire_nbytes(ah, aw),
         "coo_full": 6 * k,
         "coo_small": 6 * min(wire.COO_SMALL, k),
         "table": 10 * n,

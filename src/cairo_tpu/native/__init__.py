@@ -56,6 +56,8 @@ def lib():
         L.evxn_pack_yuv5d.restype = ctypes.c_longlong
         L.evxn_pack_yuv5d.argtypes = [u8, u, u, u, u8,
                                       ctypes.POINTER(ctypes.c_int), i16]
+        L.evxn_yuv5d_wire_to_rgb.restype = ctypes.c_longlong
+        L.evxn_yuv5d_wire_to_rgb.argtypes = [u8, u, u, u, u, u, i16, u8]
         p32 = ctypes.POINTER(ctypes.c_int32)
         vp = ctypes.c_void_p
         L.evxn_dec_create.restype = vp
@@ -192,6 +194,8 @@ def rgb_to_yuv5d(rgb: np.ndarray, aw: int, ah: int, frame_index: int = 0,
     yuv8 = rgb_to_yuv8(rgb, aw, ah, frame_index, quality)
     total = ah * aw + 2 * (ah // 2) * (aw // 2)
     packed_n = total * 5 // 8
+    if 6 * UP_EXC_K + packed_n >= total:
+        return "yuv8", yuv8  # tiny frames: the exception section dominates
     out = np.zeros(8 + 6 * UP_EXC_K + packed_n, np.uint8)
     out[:8] = yuv8[:8]
     exc_pos = np.empty(UP_EXC_K, np.int32)
@@ -287,4 +291,19 @@ def yuv_wire_to_rgb(wire: np.ndarray, aw: int, ah: int, width: int,
     rgb = np.empty((height, width, 3), np.uint8)
     count = lib().evxn_yuv_wire_to_rgb(_p8(wire), aw, ah, width, height,
                                        exc_k, _p8(rgb))
+    return rgb, int(count)
+
+
+def yuv5d_wire_to_rgb(wire: np.ndarray, aw: int, ah: int, width: int,
+                      height: int, exc_k: int,
+                      tmp: np.ndarray) -> tuple[np.ndarray, int]:
+    """Converts the decoder's 5-bit-delta YUV wire (tpu/wire.py
+    pack_yuv5d_wire) to (H, W, 3) uint8 RGB. `tmp` is a caller-owned
+    int16 scratch of ah*aw + 2*(ah//2 * aw//2) elements. Returns
+    (rgb, exception_count); count > exc_k means the wire was clipped and
+    the caller must refetch exact planes (rgb is untouched then)."""
+    wire = np.ascontiguousarray(wire, dtype=np.uint8)
+    rgb = np.empty((height, width, 3), np.uint8)
+    count = lib().evxn_yuv5d_wire_to_rgb(_p8(wire), aw, ah, width, height,
+                                         exc_k, _p16(tmp), _p8(rgb))
     return rgb, int(count)

@@ -742,6 +742,108 @@ long long evxn_yuv_wire_to_rgb(
     return exc_count;
 }
 
+// Unpacks the decoder's 5-bit-delta YUV output wire (tpu/wire.py
+// pack_yuv5d_wire) and converts to RGB with the exact integer math of
+// convert.cpp:75-93. Wire: [count i32 | exc_k pos i32 | exc_k val i16 |
+// packed fields]; fields hold clip(delta,-16,15) (horizontal; vertical
+// at column 0) of the shifted-space planes (Y minus +16, chroma as-is);
+// exceptions carry exact absolute values at ascending flat positions and
+// are substituted during the sequential prefix scan. Returns the wire's
+// exception count; count > exc_k means the wire was clipped and the
+// caller must refetch exact planes. `tmp` must hold ah*aw + 2*(ah/2 *
+// aw/2) int16 (scratch the caller owns, avoiding a per-frame alloc).
+long long evxn_yuv5d_wire_to_rgb(
+    const uint8_t *wire, unsigned aw, unsigned ah,
+    unsigned width, unsigned height, unsigned exc_k,
+    int16_t *tmp, uint8_t *rgb) {
+    const unsigned cw = aw >> 1, chh = ah >> 1;
+    const long long ysz = (long long)aw * ah;
+    const long long csz = (long long)cw * chh;
+    int exc_count;
+    memcpy(&exc_count, wire, 4);
+    if (exc_count > (int)exc_k) return exc_count;
+    const uint8_t *exc_pos_b = wire + 4;
+    const uint8_t *exc_val_b = wire + 4 + 4 * (long long)exc_k;
+    const uint8_t *packed = wire + 4 + 6 * (long long)exc_k;
+
+    auto field = [&](long long g) -> int {
+        const long long bit = 5 * g;
+        const int off = (int)(bit & 7);
+        unsigned v = (unsigned)(packed[bit >> 3] >> off);
+        if (off > 3) v |= (unsigned)packed[(bit >> 3) + 1] << (8 - off);
+        v &= 31;
+        return (int)((v ^ 16u) - 16u);  // sign-extend 5 bits
+    };
+
+    long long e = 0;  // exception cursor (positions ascend)
+    auto exc_at = [&](long long pos) -> bool {
+        if (e >= exc_count) return false;
+        int p;
+        memcpy(&p, exc_pos_b + 4 * e, 4);
+        return p == (int)pos;
+    };
+
+    struct P { int16_t *out; unsigned w, h; long long base; };
+    const P planes[3] = {{tmp, aw, ah, 0},
+                         {tmp + ysz, cw, chh, ysz},
+                         {tmp + ysz + csz, cw, chh, ysz + csz}};
+    for (const P &pl : planes) {
+        int prev_c0 = 0;
+        for (unsigned r = 0; r < pl.h; ++r) {
+            int16_t *row = pl.out + (long long)r * pl.w;
+            const long long fbase = pl.base + (long long)r * pl.w;
+            int prev = prev_c0;
+            for (unsigned c = 0; c < pl.w; ++c) {
+                int v = prev + field(fbase + c);
+                if (exc_at(fbase + c)) {
+                    int16_t ev;
+                    memcpy(&ev, exc_val_b + 2 * e, 2);
+                    v = ev;
+                    ++e;
+                }
+                row[c] = (int16_t)v;
+                prev = v;
+                if (c == 0) prev_c0 = v;
+            }
+        }
+    }
+
+    auto rows = [&](unsigned rr0, unsigned rr1) {
+        const int16_t *yp = tmp;
+        const int16_t *up = tmp + ysz;
+        const int16_t *vp = tmp + ysz + csz;
+        for (unsigned r = rr0; r < rr1; ++r) {
+            const int16_t *ylo = yp + (long long)r * aw;
+            const int16_t *ulo = up + (long long)(r >> 1) * cw;
+            const int16_t *vlo = vp + (long long)(r >> 1) * cw;
+            uint8_t *orow = rgb + (long long)r * width * 3;
+            for (unsigned c = 0; c < width; ++c) {
+                int yy = (int)ylo[c];  // shifted space = y - 16 already
+                int uu = (int)ulo[c >> 1] - 128;
+                int vv = (int)vlo[c >> 1] - 128;
+                int rr = (256 * yy + 358 * vv + 128) >> 8;
+                int gg = (256 * yy - 88 * uu - 182 * vv + 128) >> 8;
+                int bb = (256 * yy + 452 * uu + 128) >> 8;
+                orow[3 * c + 0] =
+                    (uint8_t)(rr < 0 ? 0 : (rr > 255 ? 255 : rr));
+                orow[3 * c + 1] =
+                    (uint8_t)(gg < 0 ? 0 : (gg > 255 ? 255 : gg));
+                orow[3 * c + 2] =
+                    (uint8_t)(bb < 0 ? 0 : (bb > 255 ? 255 : bb));
+            }
+        }
+    };
+    if (height >= 256) {
+        unsigned mid = height / 2;
+        std::thread top(rows, 0u, mid);
+        rows(mid, height);
+        top.join();
+    } else {
+        rows(0, height);
+    }
+    return exc_count;
+}
+
 // Packs the 8-bit YUV source wire (evxn_rgb_to_yuv8 payload) into the
 // 5-bit-delta uplink wire: each value is stored as a 5-bit field holding
 // clip(delta, -16, 15), where delta is the horizontal difference to the

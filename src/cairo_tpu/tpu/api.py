@@ -353,14 +353,16 @@ class ConformanceTpuEncoder:
         frame_desc = struct.pack(_FRAME_FMT, self.frame_type,
                                  self.frame_index, self.quality)
         if src_wire is None:
-            src_wire = native.rgb_to_yuv8(rgb, self._aw, self._ah,
-                                          self.frame_index, self.quality)
+            src_wire = native.rgb_to_yuv5d(rgb, self._aw, self._ah,
+                                           self.frame_index, self.quality)
+        src_fmt, src_buf = src_wire
         with jax.profiler.TraceAnnotation("cairo_tpu.wavefront_encode"):
             self._state, out = self._wavefront.conformance_encode_step(
-                src_wire, self._state, aligned_w=self._aw,
+                src_buf, self._state, aligned_w=self._aw,
                 aligned_h=self._ah, frame_w=self.width,
                 frame_h=self.height,
-                is_inter=self.frame_type == FRAME_INTER)
+                is_inter=self.frame_type == FRAME_INTER,
+                src_fmt=src_fmt)
         for v in out.values():
             v.copy_to_host_async()
         pending = dict(header=header, frame_desc=frame_desc, out=out,
@@ -418,7 +420,7 @@ class ConformanceTpuEncoder:
                 pending = self._dispatch(cur, src_wire=wire)
                 cur = next(it, None)
                 if cur is not None and self._state is not None:
-                    pre = (pool.submit(native.rgb_to_yuv8, cur, self._aw,
+                    pre = (pool.submit(native.rgb_to_yuv5d, cur, self._aw,
                                        self._ah, self.frame_index,
                                        self.quality),
                            self.frame_index, self.quality)
@@ -477,6 +479,16 @@ class TpuDecoder:
         self._coef_y = np.zeros((self._ah, self._aw), np.int16)
         self._coef_u = np.zeros((self._ah // 2, self._aw // 2), np.int16)
         self._coef_v = np.zeros((self._ah // 2, self._aw // 2), np.int16)
+        # scratch for the 5-bit-delta downlink unpack (the convert lane
+        # is a single worker, so one buffer suffices)
+        total = self._ah * self._aw + 2 * (self._ah // 2) * (self._aw // 2)
+        self._yuv_tmp = np.empty(total, np.int16)
+        # the delta wire only wins once the packed savings beat its fixed
+        # exception section (~96 KB); tiny frames keep the 8-bit wire
+        self._out_fmt = ("yuv5d"
+                         if wire_mod.yuv5d_wire_nbytes(self._ah, self._aw)
+                         < wire_mod.yuv_wire_nbytes(self._ah, self._aw)
+                         else "yuv8")
 
     def _dispatch_decode(self, chunk: bytes) -> dict:
         """Parses one chunk and launches its device work (async). Returns a
@@ -552,7 +564,8 @@ class TpuDecoder:
                     in_wire, self._state,
                     aligned_w=self._aw, aligned_h=self._ah,
                     frame_w=self.width, frame_h=self.height,
-                    deblock=self.config.enable_deblocking, coo_k=coo_k)
+                    deblock=self.config.enable_deblocking, coo_k=coo_k,
+                    out_fmt=self._out_fmt)
             yuv.copy_to_host_async()
             return dict(kind="wire", yuv=yuv, index=index,
                         ring=self._ring_slot_refs(index),
@@ -567,7 +580,8 @@ class TpuDecoder:
                     in_wire, self._state,
                     aligned_w=self._aw, aligned_h=self._ah,
                     frame_w=self.width, frame_h=self.height,
-                    deblock=self.config.enable_deblocking, coo_k=coo_k)
+                    deblock=self.config.enable_deblocking, coo_k=coo_k,
+                    out_fmt=self._out_fmt)
             yuv.copy_to_host_async()
             return dict(kind="wire", yuv=yuv, index=index,
                         ring=self._ring_slot_refs(index),
@@ -594,7 +608,8 @@ class TpuDecoder:
                     self._coef_v.copy(), self._state,
                     aligned_w=self._aw, aligned_h=self._ah,
                     frame_w=self.width, frame_h=self.height,
-                    deblock=self.config.enable_deblocking)
+                    deblock=self.config.enable_deblocking,
+                    out_fmt=self._out_fmt)
             yuv.copy_to_host_async()
             return dict(kind="wire", yuv=yuv, index=index,
                         ring=self._ring_slot_refs(index),
@@ -649,14 +664,21 @@ class TpuDecoder:
             buf = np.asarray(pending["yuv"])
             t_fetch1 = time.perf_counter()
         with jax.profiler.TraceAnnotation("cairo_tpu.yuv_to_rgb"):
-            rgb, exc_count = native.yuv_wire_to_rgb(
-                buf, self._aw, self._ah, self.width, self.height,
-                wire_mod.EXC_K)
+            if self._out_fmt == "yuv5d":
+                rgb, exc_count = native.yuv5d_wire_to_rgb(
+                    buf, self._aw, self._ah, self.width, self.height,
+                    wire_mod.DEXC_K, self._yuv_tmp)
+                exc_cap = wire_mod.DEXC_K
+            else:
+                rgb, exc_count = native.yuv_wire_to_rgb(
+                    buf, self._aw, self._ah, self.width, self.height,
+                    wire_mod.EXC_K)
+                exc_cap = wire_mod.EXC_K
         self.last_stats = dict(stage_ms=dict(
             entropy=(pending["t_ent"] - pending["t0"]) * 1e3,
             device_and_fetch=(t_fetch1 - pending["t_dispatch"]) * 1e3,
             convert=(time.perf_counter() - t_fetch1) * 1e3))
-        if exc_count > wire_mod.EXC_K:
+        if exc_count > exc_cap:
             # wire was lossy: refetch the exact recon from the ring-slot
             # refs captured at dispatch (never live state: decode_many's
             # worker would race the next frame's donation otherwise)

@@ -426,10 +426,12 @@ def decode_step(table, coef, state, frame_index, *, width, height,
 
 @functools.partial(jax.jit, static_argnames=("aligned_w", "aligned_h",
                                              "frame_w", "frame_h",
-                                             "deblock", "coo_k"),
+                                             "deblock", "coo_k",
+                                             "out_fmt"),
                    donate_argnums=(1,))
 def decode_step_coo(in_wire, state, *, aligned_w, aligned_h,
-                    frame_w=None, frame_h=None, deblock=True, coo_k=None):
+                    frame_w=None, frame_h=None, deblock=True, coo_k=None,
+                    out_fmt="yuv8"):
     """Transfer-optimized decode: one packed upload (8-byte header with the
     frame index + residual COO + block table), 8-bit YUV wire out (see
     tpu.wire). Coefficient planes persist in device state; copy blocks keep
@@ -464,7 +466,9 @@ def decode_step_coo(in_wire, state, *, aligned_w, aligned_h,
     new_state, rec_y, rec_u, rec_v = _decode_common(
         table, coef_y, coef_u, coef_v, state, frame_index,
         aligned_w, aligned_h, deblock)
-    yuv = wire_mod.pack_yuv_wire(rec_y, rec_u, rec_v,
-                                 frame_w if frame_w is not None else aligned_w,
-                                 frame_h if frame_h is not None else aligned_h)
+    pack = (wire_mod.pack_yuv5d_wire if out_fmt == "yuv5d"
+            else wire_mod.pack_yuv_wire)
+    yuv = pack(rec_y, rec_u, rec_v,
+               frame_w if frame_w is not None else aligned_w,
+               frame_h if frame_h is not None else aligned_h)
     return new_state, yuv

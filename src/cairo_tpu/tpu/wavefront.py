@@ -367,10 +367,12 @@ def _intra_search_wave(ywin, uwin, vwin, srcb, px, py, self_sad, quality,
 
 @functools.partial(jax.jit, static_argnames=("aligned_w", "aligned_h",
                                              "frame_w", "frame_h",
-                                             "is_inter", "n_refs"),
+                                             "is_inter", "n_refs",
+                                             "src_fmt"),
                    donate_argnums=(1,))
 def conformance_encode_step(src_wire, state, *, aligned_w, aligned_h,
-                            frame_w, frame_h, is_inter, n_refs=RING):
+                            frame_w, frame_h, is_inter, n_refs=RING,
+                            src_fmt="yuv8"):
     """One frame, bit-exact vs the reference encoder (wavefront schedule).
 
     state: ring planes + coefficient planes + stale q/variance table fields.
@@ -380,8 +382,10 @@ def conformance_encode_step(src_wire, state, *, aligned_w, aligned_h,
 
     hdr = jax.lax.bitcast_convert_type(src_wire[:8].reshape(2, 4), jnp.int32)
     frame_index, quality = hdr[0], hdr[1]
-    y_in, u_in, v_in = wire_mod.unpack_yuv8(src_wire[8:], aligned_h,
-                                            aligned_w, frame_w, frame_h)
+    unpack_src = (wire_mod.unpack_yuv5d if src_fmt == "yuv5d"
+                  else wire_mod.unpack_yuv8)
+    y_in, u_in, v_in = unpack_src(src_wire[8:], aligned_h,
+                                  aligned_w, frame_w, frame_h)
     src_blocks = (ops.plane_to_blocks(y_in, MB),
                   ops.plane_to_blocks(u_in, MB // 2),
                   ops.plane_to_blocks(v_in, MB // 2))
@@ -790,11 +794,12 @@ def _wide_gather_pred(state, frame_index, target, mx, my, sp_pred,
 
 @functools.partial(jax.jit, static_argnames=("aligned_w", "aligned_h",
                                              "frame_w", "frame_h",
-                                             "deblock", "coo_k"),
+                                             "deblock", "coo_k",
+                                             "out_fmt"),
                    donate_argnums=(1,))
 def conformance_decode_step(in_wire, state, *, aligned_w, aligned_h,
                             frame_w=None, frame_h=None, deblock=True,
-                            coo_k=None):
+                            coo_k=None, out_fmt="yuv8"):
     """Decodes one parsed frame that carries intra-motion blocks.
 
     state: the engine decode state (ring + persistent coef planes).
@@ -832,16 +837,17 @@ def conformance_decode_step(in_wire, state, *, aligned_w, aligned_h,
     return _conformance_decode_core(
         frame_index, n_active, table, bi_t, bj_t, new_coef, state,
         aligned_w=aligned_w, aligned_h=aligned_h, frame_w=frame_w,
-        frame_h=frame_h, deblock=deblock)
+        frame_h=frame_h, deblock=deblock, out_fmt=out_fmt)
 
 
 @functools.partial(jax.jit, static_argnames=("aligned_w", "aligned_h",
                                              "frame_w", "frame_h",
-                                             "deblock"),
+                                             "deblock", "out_fmt"),
                    donate_argnums=(4,))
 def conformance_decode_step_dense(in_wire, cy_in, cu_in, cv_in, state, *,
                                   aligned_w, aligned_h, frame_w=None,
-                                  frame_h=None, deblock=True):
+                                  frame_h=None, deblock=True,
+                                  out_fmt="yuv8"):
     """COO-overflow variant: residual coefficients arrive as DENSE int16
     planes (cy/cu/cv) instead of the COO wire, so heavy reference-origin
     streams (e.g. 1080p intra frames at q<=4, ~500k+ nonzeros) still
@@ -868,12 +874,12 @@ def conformance_decode_step_dense(in_wire, cy_in, cu_in, cv_in, state, *,
     return _conformance_decode_core(
         frame_index, n_active, table, bi_t, bj_t, new_coef, state,
         aligned_w=aligned_w, aligned_h=aligned_h, frame_w=frame_w,
-        frame_h=frame_h, deblock=deblock)
+        frame_h=frame_h, deblock=deblock, out_fmt=out_fmt)
 
 
 def _conformance_decode_core(frame_index, n_active, table, bi_t, bj_t,
                              new_coef, state, *, aligned_w, aligned_h,
-                             frame_w, frame_h, deblock):
+                             frame_w, frame_h, deblock, out_fmt="yuv8"):
     from ..blocktypes import COPY_BIT as _COPY
 
     wb, hb = aligned_w // MB, aligned_h // MB
@@ -1072,8 +1078,9 @@ def _conformance_decode_core(frame_index, n_active, table, bi_t, bj_t,
             new_state["win_v"] = jax.lax.dynamic_update_index_in_dim(
                 state["win_v"], nw[2].astype(jnp.int16), slot, 0)
             break
-    yuv = wire_mod.pack_yuv_wire(
-        rec_y, rec_u, rec_v,
-        frame_w if frame_w is not None else aligned_w,
-        frame_h if frame_h is not None else aligned_h)
+    pack = (wire_mod.pack_yuv5d_wire if out_fmt == "yuv5d"
+            else wire_mod.pack_yuv_wire)
+    yuv = pack(rec_y, rec_u, rec_v,
+               frame_w if frame_w is not None else aligned_w,
+               frame_h if frame_h is not None else aligned_h)
     return new_state, yuv

@@ -365,6 +365,67 @@ def pack_yuv_wire(y, u, v, frame_w, frame_h):
                             _u8(exc_val)])
 
 
+# 5-bit-delta downlink wire: the decoder's YUV output is the decode
+# leg's link floor, and recon content (quantizer-smoothed) has even
+# tighter neighbour deltas than the source. Same field scheme as the
+# uplink (clip(delta,-16,15) at bits [5g,5g+5)), but exceptions carry
+# the exact ABSOLUTE value (int16, like pack_yuv_wire's list): the host
+# unpack is a sequential prefix scan that substitutes them in place, so
+# one list covers both clipped deltas and out-of-window values. Overflow
+# (count > DEXC_K) makes the caller refetch the exact ring planes.
+DEXC_K = 16384
+
+
+def yuv5d_wire_nbytes(ah, aw):
+    total = ah * aw + 2 * (ah // 2) * (aw // 2)
+    return 4 + 6 * DEXC_K + total * 5 // 8
+
+
+def pack_yuv5d_wire(y, u, v, frame_w, frame_h):
+    """Device side. y/u/v int32 recon planes (aligned dims) -> one uint8
+    wire: [count i32 | DEXC_K exc_pos i32 | DEXC_K exc_val i16 | packed
+    fields]. Values are in the shifted space (Y minus its +16 offset,
+    chroma as-is); exceptions are limited to in-frame cells (the pad
+    region is never read and every in-frame prefix path stays in-frame,
+    so clipped pad deltas cannot corrupt in-frame reconstruction)."""
+    ah, aw = y.shape
+    yin = ((jnp.arange(ah)[:, None] < frame_h)
+           & (jnp.arange(aw)[None, :] < frame_w))
+    ch, cw = u.shape
+    cin = ((jnp.arange(ch)[:, None] < (frame_h + 1) // 2)
+           & (jnp.arange(cw)[None, :] < (frame_w + 1) // 2))
+
+    def deltas(g):
+        h, w = g.shape
+        left = g - jnp.pad(g, ((0, 0), (1, 0)))[:, :w]
+        d0 = g[:, :1] - jnp.pad(g[:, :1], ((1, 0), (0, 0)))[:h]
+        return jnp.concatenate([d0, left[:, 1:]], axis=1)
+
+    ys = y.size
+    y_sh = y - Y_SHIFT
+    d = jnp.concatenate([deltas(p).reshape(-1)
+                         for p in (y_sh, u, v)])
+    st = jnp.clip(d, -16, 15)
+    cat = jnp.concatenate([p.reshape(-1) for p in (y_sh, u, v)])
+    in_frame = jnp.concatenate([yin.reshape(-1), cin.reshape(-1),
+                                cin.reshape(-1)])
+    mask = (st != d) & in_frame
+    exc_pos, exc_val, count = _compact(cat, mask, DEXC_K, split=EXC_K)
+
+    f = (st & 31).astype(jnp.uint32).reshape(-1, 32)
+    g_ = f.shape[0]
+    words = [jnp.zeros((g_,), jnp.uint32) for _ in range(5)]
+    for i in range(32):
+        b = 5 * i
+        k, s = b >> 5, b & 31
+        words[k] = words[k] | (f[:, i] << np.uint32(s))
+        if s > 27:
+            words[k + 1] = words[k + 1] | (f[:, i] >> np.uint32(32 - s))
+    packed = jnp.stack(words, axis=1).reshape(-1)
+    return jnp.concatenate([_u8(count[None]), _u8(exc_pos), _u8(exc_val),
+                            _u8(packed)])
+
+
 def yuv_wire_nbytes(ah, aw):
     total = ah * aw + 2 * (ah // 2) * (aw // 2)
     return total + 4 + 6 * EXC_K
